@@ -1,0 +1,147 @@
+"""Bilinear sampling / resize primitives (jit-friendly, static output shapes).
+
+The reference leans on torch ``F.interpolate(mode='bilinear',
+align_corners=False)`` and torchvision ``T.Resize(antialias=None)``
+(reference: third_party/segment-anything/segment_anything/modeling/sam.py:154-161,
+Hybridgl_main.py:116,121,201). Both use half-pixel source coordinates
+without antialiasing; we implement exactly that convention with gathers so
+that the *source extent may be a traced scalar*: the TPU pipeline keeps
+every image in a fixed padded frame and resizes only its valid (h, w)
+region, which lets one compiled program serve every image size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _src_coords(out_size: int, src_size, dtype=jnp.float32):
+    """Half-pixel source coords for align_corners=False; src_size may be traced."""
+    i = jnp.arange(out_size, dtype=dtype)
+    scale = jnp.asarray(src_size, dtype) / out_size
+    c = (i + 0.5) * scale - 0.5
+    return jnp.clip(c, 0.0, jnp.asarray(src_size, dtype) - 1.0)
+
+
+def _gather_axis(img, idx, axis):
+    return jnp.take(img, idx, axis=axis)
+
+
+def resize_bilinear(
+    img: jax.Array,
+    out_hw: tuple[int, int],
+    src_hw=None,
+) -> jax.Array:
+    """Bilinear resize of the leading two axes of ``img`` ([H, W, ...]).
+
+    Args:
+      img: [H, W, *rest] array; H/W are the *padded frame* sizes (static).
+      out_hw: static output (OH, OW).
+      src_hw: optional (h, w) valid-region extent; ints or traced scalars.
+        When given, only img[:h, :w] is (logically) sampled. Defaults to the
+        full frame.
+
+    Matches torch ``F.interpolate(..., mode='bilinear',
+    align_corners=False)`` / torchvision ``Resize(antialias=None)`` on
+    upsampling and non-antialiased downsampling.
+    """
+    H, W = img.shape[0], img.shape[1]
+    oh, ow = out_hw
+    if src_hw is None:
+        src_h, src_w = H, W
+    else:
+        src_h, src_w = src_hw
+
+    cy = _src_coords(oh, src_h)
+    cx = _src_coords(ow, src_w)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, jnp.asarray(src_h, jnp.int32) - 1)
+    x1 = jnp.minimum(x0 + 1, jnp.asarray(src_w, jnp.int32) - 1)
+    wy = (cy - y0).astype(img.dtype) if jnp.issubdtype(img.dtype, jnp.floating) else (cy - y0)
+    wx = (cx - x0).astype(wy.dtype)
+
+    compute = img
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        compute = img.astype(jnp.float32)
+
+    top = _gather_axis(compute, y0, 0)
+    bot = _gather_axis(compute, y1, 0)
+
+    def lerp_rows(rows):
+        l = _gather_axis(rows, x0, 1)
+        r = _gather_axis(rows, x1, 1)
+        wxb = wx.reshape((1, ow) + (1,) * (rows.ndim - 2))
+        return l + (r - l) * wxb
+
+    top = lerp_rows(top)
+    bot = lerp_rows(bot)
+    wyb = wy.reshape((oh, 1) + (1,) * (img.ndim - 2))
+    out = top + (bot - top) * wyb
+    return out
+
+
+def resize_bilinear_batched(imgs, out_hw, src_hw=None):
+    """vmapped resize over a leading batch axis ([N, H, W, ...])."""
+    fn = lambda im: resize_bilinear(im, out_hw, src_hw)
+    return jax.vmap(fn)(imgs)
+
+
+def place_valid_region(
+    img: jax.Array,
+    src_hw,
+    out_frame: tuple[int, int],
+    dst_hw,
+) -> jax.Array:
+    """Resize img[:src_h, :src_w] to (dst_h, dst_w) placed at the origin of a
+    zero-padded (OH, OW) frame; dst extents may be traced scalars.
+
+    This is the canonical-frame transfer used throughout the pipeline: a
+    mask/logit living in SAM's 1024 frame moves into the 640 eval frame with
+    a per-image traced scale, under one static-shape compiled program.
+    """
+    OH, OW = out_frame
+    dst_h = jnp.asarray(dst_hw[0], jnp.float32)
+    dst_w = jnp.asarray(dst_hw[1], jnp.float32)
+    src_h = jnp.asarray(src_hw[0], jnp.float32)
+    src_w = jnp.asarray(src_hw[1], jnp.float32)
+
+    i = jnp.arange(OH, dtype=jnp.float32)
+    j = jnp.arange(OW, dtype=jnp.float32)
+    cy = jnp.clip((i + 0.5) * (src_h / dst_h) - 0.5, 0.0, src_h - 1.0)
+    cx = jnp.clip((j + 0.5) * (src_w / dst_w) - 0.5, 0.0, src_w - 1.0)
+
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, src_h.astype(jnp.int32) - 1)
+    x1 = jnp.minimum(x0 + 1, src_w.astype(jnp.int32) - 1)
+    wy = cy - y0
+    wx = cx - x0
+
+    compute = img if jnp.issubdtype(img.dtype, jnp.floating) else img.astype(jnp.float32)
+    top = _gather_axis(compute, y0, 0)
+    bot = _gather_axis(compute, y1, 0)
+
+    def lerp_rows(rows):
+        l = _gather_axis(rows, x0, 1)
+        r = _gather_axis(rows, x1, 1)
+        wxb = wx.reshape((1, OW) + (1,) * (rows.ndim - 2))
+        return l + (r - l) * wxb
+
+    top = lerp_rows(top)
+    bot = lerp_rows(bot)
+    wyb = wy.reshape((OH, 1) + (1,) * (img.ndim - 2))
+    out = top + (bot - top) * wyb
+
+    valid = (i.reshape(OH, 1) < dst_h) & (j.reshape(1, OW) < dst_w)
+    valid = valid.reshape((OH, OW) + (1,) * (img.ndim - 2))
+    return jnp.where(valid, out, 0.0)
+
+
+def valid_mask(frame: tuple[int, int], hw) -> jax.Array:
+    """Boolean [H, W] mask of the valid (h, w) region of a padded frame."""
+    H, W = frame
+    i = jnp.arange(H).reshape(H, 1)
+    j = jnp.arange(W).reshape(1, W)
+    return (i < jnp.asarray(hw[0], jnp.int32)) & (j < jnp.asarray(hw[1], jnp.int32))

@@ -1,0 +1,94 @@
+"""Shared transformer primitives for the CLIP family (pure-functional JAX).
+
+Parameters are plain dict pytrees (easy torch conversion, easy sharding
+annotation); all functions are shape-polymorphic over the batch and jit
+under a single trace. Math matches torch ``nn.MultiheadAttention`` /
+``LayerNorm`` semantics used by the reference's modified CLIP
+(reference: third_party/modified_CLIP/clip/model.py:189-257).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    """LayerNorm computed in f32 regardless of activation dtype (matches the
+    reference's fp16-safe LayerNorm subclass, clip/model.py:189-195)."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dt)
+
+
+def linear(p, x):
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def multi_head_attention(
+    p,
+    x: jax.Array,
+    num_heads: int,
+    attn_bias: Optional[jax.Array] = None,
+):
+    """Self-attention matching torch nn.MultiheadAttention(d, h).
+
+    Args:
+      p: {'in_proj_w': [D, 3D], 'in_proj_b': [3D], 'out_w': [D, D], 'out_b': [D]}
+      x: [N, L, D]
+      attn_bias: optional additive bias broadcastable to [N, H, L, L]
+        (use -inf/-1e9 entries to mask; see ``allowed_mask_to_bias``).
+    """
+    N, L, D = x.shape
+    H = num_heads
+    hd = D // H
+    qkv = x @ p["in_proj_w"].astype(x.dtype) + p["in_proj_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(N, L, H, hd).transpose(0, 2, 1, 3)  # [N,H,L,hd]
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(x.dtype)
+    attn = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32)
+    if attn_bias is not None:
+        attn = attn + attn_bias.astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(N, L, D)
+    return out @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
+
+
+def allowed_mask_to_bias(allowed: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Boolean 'may attend' mask -> additive bias (False -> -inf)."""
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype)
+    return jnp.where(allowed, jnp.zeros((), dtype), neg)
+
+
+def residual_attention_block(
+    p,
+    x: jax.Array,
+    num_heads: int,
+    attn_bias: Optional[jax.Array] = None,
+):
+    """Pre-LN block: x + MHA(LN(x)); x + MLP(LN(x)) with QuickGELU.
+
+    Equivalent to the reference's ResidualAttentionBlock with a per-call
+    attention mask (the modification that enables the fusion modes,
+    reference: clip/model.py:244-257).
+    """
+    x = x + multi_head_attention(p["attn"], layer_norm(p["ln_1"], x), num_heads, attn_bias)
+    h = layer_norm(p["ln_2"], x)
+    h = linear(p["mlp_fc"], h)
+    h = quick_gelu(h)
+    h = linear(p["mlp_proj"], h)
+    return x + h

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from hybridgl_tpu.kernels.resize import (
+    place_valid_region,
+    resize_bilinear,
+    valid_mask,
+)
+from hybridgl_tpu.kernels.blur import gaussian_blur
+
+
+def torch_bilinear(x_hwc, out_hw):
+    t = torch.from_numpy(np.asarray(x_hwc, np.float32)).permute(2, 0, 1)[None]
+    o = F.interpolate(t, out_hw, mode="bilinear", align_corners=False)
+    return o[0].permute(1, 2, 0).numpy()
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((17, 23), (64, 64)), ((64, 48), (14, 14)), ((256, 256), (1024, 1024))])
+def test_resize_matches_torch(rng, in_hw, out_hw):
+    x = rng.standard_normal((*in_hw, 3), dtype=np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), out_hw))
+    ref = torch_bilinear(x, out_hw)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_resize_valid_region_equals_cropped_resize(rng):
+    # resizing the valid region of a padded frame == resizing the crop
+    x = rng.standard_normal((100, 100, 2), dtype=np.float32)
+    frame = np.zeros((128, 128, 2), np.float32)
+    frame[:100, :100] = x
+    ours = np.asarray(resize_bilinear(jnp.asarray(frame), (32, 32), src_hw=(100, 100)))
+    ref = torch_bilinear(x, (32, 32))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_place_valid_region(rng):
+    # 1024-frame logits with a (512, 768) valid region -> 640 frame with a
+    # (320, 480) valid region must equal direct crop-resize, zeros elsewhere.
+    x = rng.standard_normal((1024, 1024), dtype=np.float32)
+    out = np.asarray(
+        place_valid_region(jnp.asarray(x), (512, 768), (640, 640), (320, 480))
+    )
+    ref = torch_bilinear(x[:512, :768, None], (320, 480))[..., 0]
+    # coords are computed in f32 on TPU (torch uses f64 scales) -> ~1e-4 slack
+    np.testing.assert_allclose(out[:320, :480], ref, atol=1e-3, rtol=1e-3)
+    assert np.all(out[320:, :] == 0) and np.all(out[:, 480:] == 0)
+
+
+def test_valid_mask():
+    m = np.asarray(valid_mask((8, 8), (3, 5)))
+    assert m[:3, :5].all() and m.sum() == 15
+
+
+def test_gaussian_blur_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    ref = cv2.GaussianBlur(img, (15, 15), 0)
+    ours = np.asarray(gaussian_blur(jnp.asarray(img), 15))
+    # float->uint8 rounding at ties can differ by 1
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+    frac_diff = (ours != ref).mean()
+    assert frac_diff < 0.05
+
+
+def test_gaussian_blur_float_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.standard_normal((33, 47)).astype(np.float32)
+    ref = cv2.GaussianBlur(img, (15, 15), 0)
+    ours = np.asarray(gaussian_blur(jnp.asarray(img), 15))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
