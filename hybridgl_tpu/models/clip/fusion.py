@@ -1,0 +1,181 @@
+"""Hybrid global/local fusion scoring forward (the HybridGL core idea).
+
+Re-implements the five fusion modes of the reference's ``CLIPViTFM``
+(reference: model/backbone.py:117-309) as one jit-compiled function with a
+static mode enum:
+
+  crop          plain ViT on the local crops (backbone.py:126-128)
+  token_masking patch tokens multiplied by the (fractionally resized)
+                proposal mask from ``masking_block`` on (backbone.py:161-185)
+  attn_masking  CLS row restricted to in-mask patches via a per-proposal
+                attention mask (backbone.py:187-204); NOTE the reference
+                returns after block ``last_layer`` — one block earlier than
+                every other mode — reproduced behind CompatConfig
+  L2G           local stream injected into the attention-masked global
+                stream (backbone.py:206-225)
+  G2L           token-masked global injected into the local stream
+                (backbone.py:227-260)
+  G2L&L2G       both directions, four parallel streams, summed heads
+                (backbone.py:262-306)
+
+TPU-first structure: the shared blocks [0, masking_block) run on the
+concatenated 2P batch in a single pass (one big MXU batch per block); the
+specialised tail blocks run per-stream. All shapes are static in the
+proposal bucket P; invalid (padded) proposals are masked downstream at
+scoring time.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import ClipConfig, CompatConfig
+from ...kernels.resize import resize_bilinear
+from .layers import allowed_mask_to_bias, layer_norm
+from .vit import vit_block, vit_head, vit_stem
+
+def last_layer_index(cfg: ClipConfig) -> int:
+    """The reference's ``last_layer`` (10 for the 12-block ViT-B,
+    backbone.py:17-21); generalised as depth-2 so smaller test models work."""
+    return cfg.vision_layers - 2
+
+
+def resize_masks_to_grid(pred_masks: jax.Array, grid: int) -> jax.Array:
+    """[P, H, W] bool/float -> [P, grid, grid] float via bilinear (matches
+    torchvision TF.resize on float masks, backbone.py:160)."""
+    m = pred_masks.astype(jnp.float32)
+    return jax.vmap(lambda x: resize_bilinear(x, (grid, grid)))(m)
+
+
+def make_attn_bias(masks_grid: jax.Array) -> jax.Array:
+    """Per-proposal CLS-row attention bias.
+
+    ``make_attn_mask`` semantics (backbone.py:108-115): CLS may attend to
+    itself and to patches whose (fractionally resized) mask value is
+    nonzero; patch rows are unrestricted. Returns additive bias
+    [P, 1, L, L] (broadcast over heads).
+    """
+    P = masks_grid.shape[0]
+    L = masks_grid.shape[1] * masks_grid.shape[2] + 1
+    allowed = jnp.ones((P, L, L), bool)
+    patch_ok = (masks_grid.reshape(P, -1) != 0)
+    allowed = allowed.at[:, 0, 1:].set(patch_ok)
+    return allowed_mask_to_bias(allowed)[:, None, :, :]
+
+
+def token_mask(x: jax.Array, masks_grid: jax.Array) -> jax.Array:
+    """Multiply patch tokens by the (fractional) proposal mask, keep CLS.
+
+    x: [P, L, D]; masks_grid: [P, g, g]. (backbone.py:164-175 / :236-247.)
+    """
+    P, L, D = x.shape
+    cls, patches = x[:, :1, :], x[:, 1:, :]
+    m = masks_grid.reshape(P, -1, 1).astype(x.dtype)
+    return jnp.concatenate([cls, patches * m], axis=1)
+
+
+def hybrid_forward(
+    p_visual,
+    local_imgs: jax.Array,
+    global_imgs: jax.Array,
+    pred_masks: jax.Array,
+    cfg: ClipConfig,
+    fusion_mode: str = "G2L",
+    masking_block: int = 9,
+    compat: CompatConfig = CompatConfig(),
+) -> jax.Array:
+    """Compute hybrid CLS features for P proposals.
+
+    Args:
+      local_imgs / global_imgs: [P, S, S, 3] NHWC, CLIP-preprocessed.
+      pred_masks: [P, H, W] proposal masks (bool or float), any resolution.
+    Returns: [P, embed_dim] features (mode 'G2L&L2G' returns the summed
+      hybrid features, matching the reference).
+    """
+    mb = masking_block
+    last = last_layer_index(cfg)
+    n_blocks = cfg.vision_layers
+
+    if fusion_mode == "crop":
+        x = vit_stem(p_visual, local_imgs, cfg)
+        for i in range(n_blocks):
+            x = vit_block(p_visual["blocks"][i], x, cfg)
+        return vit_head(p_visual, x, cfg)
+
+    masks_grid = resize_masks_to_grid(pred_masks, cfg.grid)
+
+    x = vit_stem(p_visual, local_imgs, cfg)
+
+    if fusion_mode == "token_masking":
+        for i in range(mb):
+            x = vit_block(p_visual["blocks"][i], x, cfg)
+        stop = last + 2  # blocks mb..11 inclusive; head taken at block 11
+        for i in range(mb, stop):
+            x = token_mask(x, masks_grid)
+            x = vit_block(p_visual["blocks"][i], x, cfg)
+        return vit_head(p_visual, x, cfg)
+
+    if fusion_mode == "attn_masking":
+        bias = make_attn_bias(masks_grid)
+        for i in range(mb):
+            x = vit_block(p_visual["blocks"][i], x, cfg)
+        stop = (last + 1) if compat.attn_masking_early_exit else (last + 2)
+        for i in range(mb, stop):
+            x = vit_block(p_visual["blocks"][i], x, cfg, attn_bias=bias)
+        return vit_head(p_visual, x, cfg)
+
+    # two-stream modes
+    x2 = vit_stem(p_visual, global_imgs, cfg)
+    bias = make_attn_bias(masks_grid)
+
+    # shared trunk on the fused 2P batch (one resblock call per block)
+    P = x.shape[0]
+    xx = jnp.concatenate([x, x2], axis=0)
+    for i in range(mb):
+        xx = vit_block(p_visual["blocks"][i], xx, cfg)
+    x, x2 = xx[:P], xx[P:]
+
+    if fusion_mode == "L2G":
+        for i in range(mb, last + 2):
+            x_ori_local = x
+            x = vit_block(p_visual["blocks"][i], x, cfg)
+            x2 = vit_block(
+                p_visual["blocks"][i], x_ori_local + 2.0 * x2, cfg, attn_bias=bias
+            )
+        return vit_head(p_visual, x2, cfg)
+
+    if fusion_mode == "G2L":
+        for i in range(mb, last + 2):
+            x_ori_global = token_mask(x2, masks_grid)
+            x = vit_block(p_visual["blocks"][i], 2.0 * x_ori_global + x, cfg)
+            x2 = vit_block(p_visual["blocks"][i], x2, cfg, attn_bias=bias)
+        return vit_head(p_visual, x, cfg)
+
+    if fusion_mode == "G2L&L2G":
+        xh_local, xh_global = x, x2
+        for i in range(mb, last + 2):
+            x_ori_local = x
+            x_ori_global = token_mask(x2, masks_grid)
+            blk = p_visual["blocks"][i]
+            x = vit_block(blk, x, cfg)
+            x2 = vit_block(blk, x2, cfg, attn_bias=bias)
+            xh_local = vit_block(blk, xh_local + 2.0 * x_ori_global, cfg)
+            xh_global = vit_block(
+                blk, x_ori_local + 2.0 * xh_global, cfg, attn_bias=bias
+            )
+        return vit_head(p_visual, xh_local, cfg) + vit_head(p_visual, xh_global, cfg)
+
+    raise ValueError(f"unknown fusion mode {fusion_mode!r}")
+
+
+def calculate_score(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    logit_scale: jax.Array,
+) -> jax.Array:
+    """Cosine-similarity logits ([P, T]) scaled by exp(logit_scale)
+    (reference: model/backbone.py:74-87)."""
+    img = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+    txt = text_features / jnp.linalg.norm(text_features, axis=-1, keepdims=True)
+    return jnp.exp(logit_scale) * img @ txt.T

@@ -11,7 +11,14 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on (virtual) CPU devices
+
+import jax  # noqa: E402
+
+# jax may already be imported by the environment with a TPU platform; the
+# config route works post-import (env vars would be too late).
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
