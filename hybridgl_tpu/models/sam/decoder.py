@@ -1,0 +1,192 @@
+"""SAM two-way transformer + mask decoder in functional JAX.
+
+Semantics match the reference
+(reference: third_party/segment-anything/segment_anything/modeling/transformer.py
+and modeling/mask_decoder.py): IoU token + 4 mask tokens, two
+{token self-attn, token->image cross-attn, MLP, image->token cross-attn}
+layers with attention-channel downsample rate 2, a final token->image
+attention, 4x deconv upscaling and per-token hypernetwork MLPs.
+
+TPU note: the decoder runs over the full point batch at once
+([B=points_per_batch] prompts x [4096] image tokens) as one jitted call —
+no per-prompt host loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import SamConfig
+from .image_encoder import layer_norm_2d
+
+LN_EPS = 1e-5  # decoder transformer norms are default torch LayerNorm
+
+
+def _ln(p, x, eps=LN_EPS):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(dt)
+
+
+def _lin(p, x):
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def _attn(p, q, k, v, num_heads: int):
+    """Projected multi-head attention (reference transformer.py:185-240)."""
+    q, k, v = _lin(p["q"], q), _lin(p["k"], k), _lin(p["v"], v)
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
+
+    def heads(t, L):
+        return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q, Lq), heads(k, Lk), heads(v, Lk)
+    attn = jnp.einsum(
+        "bnqd,bnkd->bnqk", qh, kh, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, vh, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return _lin(p["out"], out)
+
+
+def _mlp_relu(p_fc, p_proj, x):
+    return _lin(p_proj, jax.nn.relu(_lin(p_fc, x)))
+
+
+def two_way_transformer(
+    p,
+    image_embedding: jax.Array,  # [B, g*g, C]
+    image_pe: jax.Array,  # [1 or B, g*g, C]
+    point_embedding: jax.Array,  # [B, T, C]
+    cfg: SamConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (queries [B,T,C], keys [B,g*g,C])
+    (reference: transformer.py:62-106, blocks :151-182)."""
+    h = cfg.decoder_heads
+    queries = point_embedding
+    keys = image_embedding
+    for i, layer in enumerate(p["layers"]):
+        if i == 0:
+            queries = queries + _attn(layer["self_attn"], queries, queries, queries, h)
+        else:
+            q = queries + point_embedding
+            queries = queries + _attn(layer["self_attn"], q, q, queries, h)
+        queries = _ln(layer["norm1"], queries)
+
+        q = queries + point_embedding
+        k = keys + image_pe
+        queries = queries + _attn(layer["cross_t2i"], q, k, keys, h)
+        queries = _ln(layer["norm2"], queries)
+
+        queries = queries + _mlp_relu(layer["mlp_fc"], layer["mlp_proj"], queries)
+        queries = _ln(layer["norm3"], queries)
+
+        q = queries + point_embedding
+        k = keys + image_pe
+        keys = keys + _attn(layer["cross_i2t"], k, q, queries, h)
+        keys = _ln(layer["norm4"], keys)
+
+    q = queries + point_embedding
+    k = keys + image_pe
+    queries = queries + _attn(p["final_attn"], q, k, keys, h)
+    queries = _ln(p["norm_final"], queries)
+    return queries, keys
+
+
+def _conv_transpose(x, w, b, stride=2):
+    """torch ConvTranspose2d(k=2, s=2, pad=0) as a dilated conv: dilate the
+    input by the stride and correlate with the spatially flipped kernel
+    (w stored HWIO = [kh, kw, in, out])."""
+    k = w.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, (0, 1)).astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(k - 1, k - 1), (k - 1, k - 1)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return out + b.astype(x.dtype)
+
+
+def _mlp_stack(layers, x, sigmoid_output=False):
+    for i, p in enumerate(layers):
+        x = _lin(p, x)
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    if sigmoid_output:
+        x = jax.nn.sigmoid(x)
+    return x
+
+
+def predict_masks(
+    p_dec,
+    image_embedding: jax.Array,  # [g, g, C] (single image) NHWC
+    image_pe: jax.Array,  # [g, g, C]
+    sparse_prompts: jax.Array,  # [B, S, C]
+    cfg: SamConfig,
+    dense_prompts: jax.Array | None = None,  # [B, g, g, C] or None
+    multimask_output: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """All-prompts-at-once mask prediction.
+
+    Returns (mask logits [B, M, 4g, 4g], iou predictions [B, M]) where M is
+    3 with multimask_output else 1 (reference: mask_decoder.py:94-149).
+    """
+    B = sparse_prompts.shape[0]
+    g = cfg.embed_grid
+    C = cfg.prompt_dim
+    nmt = cfg.num_mask_tokens
+
+    output_tokens = jnp.concatenate([p_dec["iou_token"], p_dec["mask_tokens"]], axis=0)
+    output_tokens = jnp.broadcast_to(output_tokens[None], (B, nmt + 1, C)).astype(
+        sparse_prompts.dtype
+    )
+    tokens = jnp.concatenate([output_tokens, sparse_prompts], axis=1)
+
+    src = jnp.broadcast_to(image_embedding[None], (B, g, g, C))
+    if dense_prompts is not None:
+        src = src + dense_prompts
+    src = src.reshape(B, g * g, C).astype(tokens.dtype)
+    pe = jnp.broadcast_to(image_pe.reshape(1, g * g, C), (B, g * g, C)).astype(
+        tokens.dtype
+    )
+
+    hs, src = two_way_transformer(p_dec["transformer"], src, pe, tokens, cfg)
+    iou_token_out = hs[:, 0, :]
+    mask_tokens_out = hs[:, 1 : 1 + nmt, :]
+
+    # upscale image features 4x (mask_decoder.py:53-59)
+    up = src.reshape(B, g, g, C)
+    up = _conv_transpose(up, p_dec["upscale"]["deconv1"]["w"], p_dec["upscale"]["deconv1"]["b"])
+    up = layer_norm_2d(p_dec["upscale"]["ln"], up)
+    up = jax.nn.gelu(up, approximate=False)
+    up = _conv_transpose(up, p_dec["upscale"]["deconv2"]["w"], p_dec["upscale"]["deconv2"]["b"])
+    up = jax.nn.gelu(up, approximate=False)  # [B, 4g, 4g, C/8]
+
+    hyper = jnp.stack(
+        [
+            _mlp_stack(p_dec["hyper_mlps"][i], mask_tokens_out[:, i, :])
+            for i in range(nmt)
+        ],
+        axis=1,
+    )  # [B, nmt, C/8]
+    g4 = 4 * g
+    masks = jnp.einsum(
+        "bmc,bhwc->bmhw", hyper, up, preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
+
+    iou_pred = _mlp_stack(p_dec["iou_head"], iou_token_out).astype(jnp.float32)
+
+    if multimask_output:
+        return masks[:, 1:, :, :], iou_pred[:, 1:]
+    return masks[:, :1, :, :], iou_pred[:, :1]

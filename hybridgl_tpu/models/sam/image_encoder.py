@@ -1,0 +1,176 @@
+"""SAM image encoder (ViTDet-style) in functional JAX.
+
+Semantics match the reference encoder
+(reference: third_party/segment-anything/segment_anything/modeling/image_encoder.py):
+16x16 patch embed + absolute pos embed, ``depth`` blocks of 14x14 windowed
+attention except the four global-attention blocks, decomposed relative
+position bias, and a two-conv neck to ``prompt_dim`` channels.
+
+TPU structure notes:
+  * everything is NHWC (conv-friendly on TPU);
+  * windowed attention reshapes to one [B*25, 196, D] batch -> a single
+    fused MXU batch per block instead of per-window loops;
+  * the decomposed rel-pos bias is materialised per (q,k) tile via two
+    einsums (Pallas flash-attention variant in kernels/flash_attention.py
+    folds it into the tile loop for the 4096-token global blocks).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import SamConfig
+
+LN_EPS = 1e-6  # build_sam.py uses LayerNorm(eps=1e-6) throughout the encoder
+
+
+def _ln(p, x, eps=LN_EPS):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(dt)
+
+
+def layer_norm_2d(p, x, eps=LN_EPS):
+    """Channel LayerNorm on NHWC maps (reference LayerNorm2d, common.py:27-43)."""
+    return _ln(p, x, eps)
+
+
+def get_rel_pos_table(size: int, rel_pos: jax.Array) -> jax.Array:
+    """R[q, k] = rel_pos[q - k + size - 1]; [S, S, head_dim].
+
+    (reference: image_encoder.py:292-322; no interpolation needed because
+    converted checkpoints carry the exact 2S-1 table.)
+    """
+    q = jnp.arange(size)[:, None]
+    k = jnp.arange(size)[None, :]
+    idx = q - k + (size - 1)
+    return rel_pos[idx]
+
+
+def decomposed_rel_pos_bias(q: jax.Array, rel_pos_h, rel_pos_w, size: int):
+    """Per-head additive attention bias from decomposed rel-pos.
+
+    q: [B, heads, S*S, hd] -> bias [B, heads, S*S, S*S]
+    (reference math: image_encoder.py:325-361).
+    """
+    B, H, _, hd = q.shape
+    Rh = get_rel_pos_table(size, rel_pos_h)  # [S, S, hd]
+    Rw = get_rel_pos_table(size, rel_pos_w)
+    r_q = q.reshape(B, H, size, size, hd)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh, preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32)
+    bias = rel_h[..., :, None] + rel_w[..., None, :]  # [B,H,h,w,kh,kw]
+    return bias.reshape(B, H, size * size, size * size)
+
+
+def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
+    """Windowed/global attention over an [B, S, S, D] tile with rel-pos."""
+    B = x.shape[0]
+    D = x.shape[-1]
+    hd = D // num_heads
+    tokens = x.reshape(B, size * size, D)
+    qkv = tokens @ p_attn["qkv_w"].astype(x.dtype) + p_attn["qkv_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, size * size, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scale = hd**-0.5
+    attn = jnp.einsum(
+        "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = attn + decomposed_rel_pos_bias(
+        q, p_attn["rel_pos_h"].astype(x.dtype), p_attn["rel_pos_w"].astype(x.dtype), size
+    )
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, size * size, D)
+    out = out @ p_attn["proj_w"].astype(x.dtype) + p_attn["proj_b"].astype(x.dtype)
+    return out.reshape(B, size, size, D)
+
+
+def window_partition(x: jax.Array, window: int):
+    """[B, H, W, C] -> [B*nW, win, win, C] with zero padding
+    (reference: image_encoder.py:243-264)."""
+    B, H, W, C = x.shape
+    pad_h = (window - H % window) % window
+    pad_w = (window - W % window) % window
+    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window, window, Wp // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(wins: jax.Array, window: int, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = wins.shape[-1]
+    B = wins.shape[0] // ((Hp // window) * (Wp // window))
+    x = wins.reshape(B, Hp // window, Wp // window, window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W, :]
+
+
+def _mlp(p, x):
+    h = x @ p["mlp_fc"]["w"].astype(x.dtype) + p["mlp_fc"]["b"].astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ p["mlp_proj"]["w"].astype(x.dtype) + p["mlp_proj"]["b"].astype(x.dtype)
+
+
+def encoder_block(p, x: jax.Array, cfg: SamConfig, window: int) -> jax.Array:
+    """One ViTDet block; window==0 means global attention
+    (reference: image_encoder.py:166-182)."""
+    shortcut = x
+    x = _ln(p["ln_1"], x)
+    if window > 0:
+        H, W = x.shape[1], x.shape[2]
+        wins, pad_hw = window_partition(x, window)
+        wins = _attention(p["attn"], wins, cfg.encoder_heads, window)
+        x = window_unpartition(wins, window, pad_hw, (H, W))
+    else:
+        x = _attention(p["attn"], x, cfg.encoder_heads, x.shape[1])
+    x = shortcut + x
+    return x + _mlp(p, _ln(p["ln_2"], x))
+
+
+def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
+    """images: [N, 1024, 1024, 3] preprocessed -> [N, 64, 64, prompt_dim]."""
+    dt = images.dtype
+    x = jax.lax.conv_general_dilated(
+        images,
+        p["patch_embed"]["w"].astype(dt),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + p["patch_embed"]["b"].astype(dt)
+    x = x + p["pos_embed"].astype(dt)
+
+    for i in range(cfg.encoder_depth):
+        window = 0 if i in cfg.encoder_global_idx else cfg.window_size
+        x = encoder_block(p["blocks"][i], x, cfg, window)
+
+    # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (image_encoder.py:88-104)
+    x = jax.lax.conv_general_dilated(
+        x,
+        p["neck"]["conv1_w"].astype(dt),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    x = layer_norm_2d(p["neck"]["ln1"], x)
+    x = jax.lax.conv_general_dilated(
+        x,
+        p["neck"]["conv2_w"].astype(dt),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    return layer_norm_2d(p["neck"]["ln2"], x)
