@@ -1,0 +1,73 @@
+"""IoU metrics: device-side accumulators, psum-ready for data parallelism.
+
+The reference accumulates cumulative I/U plus a per-sample IoU list in
+driver locals (reference: utils.py:365-384, Hybridgl_main.py:52-55).
+Here the accumulator is an explicit pytree that (a) lives on device,
+(b) psum-reduces across a mesh axis for multi-chip eval, and (c) exactly
+reproduces oIoU / mIoU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class IoUAccum(NamedTuple):
+    cum_i: jax.Array  # scalar f64-ish (f32 is plenty for <= 10^10 px)
+    cum_u: jax.Array
+    sum_iou: jax.Array
+    count: jax.Array
+
+    @staticmethod
+    def zeros():
+        z = jnp.zeros((), jnp.float32)
+        return IoUAccum(z, z, z, z)
+
+    @property
+    def overall_iou(self):
+        return self.cum_i / self.cum_u
+
+    @property
+    def mean_iou(self):
+        return self.sum_iou / self.count
+
+
+def mask_iou(pred: jax.Array, target: jax.Array):
+    """(I, U, IoU) of two boolean masks (reference Compute_IoU math,
+    utils.py:365-384; U==0 -> IoU 0)."""
+    p = pred.astype(bool)
+    t = target.astype(bool)
+    i = jnp.logical_and(p, t).sum().astype(jnp.float32)
+    u = jnp.logical_or(p, t).sum().astype(jnp.float32)
+    iou = jnp.where(u == 0, 0.0, i / jnp.maximum(u, 1.0))
+    return i, u, iou
+
+
+def update(acc: IoUAccum, pred: jax.Array, target: jax.Array) -> tuple[jax.Array, IoUAccum]:
+    i, u, iou = mask_iou(pred, target)
+    return iou, IoUAccum(acc.cum_i + i, acc.cum_u + u, acc.sum_iou + iou, acc.count + 1.0)
+
+
+def update_masked(acc: IoUAccum, pred, target, enabled) -> IoUAccum:
+    """Conditional update (for padded sentences in batched eval)."""
+    i, u, iou = mask_iou(pred, target)
+    e = jnp.asarray(enabled, jnp.float32)
+    return IoUAccum(
+        acc.cum_i + e * i, acc.cum_u + e * u, acc.sum_iou + e * iou, acc.count + e
+    )
+
+
+def psum_accum(acc: IoUAccum, axis_name: str) -> IoUAccum:
+    """Cross-chip reduction — the only collective eval needs (ICI-cheap)."""
+    return IoUAccum(*(jax.lax.psum(x, axis_name) for x in acc))
+
+
+def report(acc: IoUAccum) -> dict:
+    return {
+        "oIoU": float(acc.overall_iou) * 100.0,
+        "mIoU": float(acc.mean_iou) * 100.0,
+        "count": int(acc.count),
+    }
