@@ -273,6 +273,9 @@ class PipelineConfig:
 
     clip_model: str = "ViT-B/16"
     sam_model: str = "vit_h"
+    # explicit config overrides (presets used when None); handy for tests
+    clip_config: Optional[ClipConfig] = None
+    sam_config: Optional[SamConfig] = None
     fusion_mode: str = "G2L"
     # canonical padded eval frame (COCO train2014 images are <= 640px)
     canonical_size: int = 640
@@ -293,11 +296,11 @@ class PipelineConfig:
 
     @property
     def clip(self) -> ClipConfig:
-        return clip_preset(self.clip_model)
+        return self.clip_config or clip_preset(self.clip_model)
 
     @property
     def sam(self) -> SamConfig:
-        return sam_preset(self.sam_model)
+        return self.sam_config or sam_preset(self.sam_model)
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,320 @@
+"""End-to-end zero-shot referring-segmentation pipeline.
+
+Orchestrates the device-resident stages (all jitted, all static shapes):
+
+  image stage     SAM proposals (models/sam/amg.py) -> device crop prep
+                  (pipeline/preprocess.py) -> hybrid fusion features
+                  (models/clip/fusion.py) -> GEM input prep
+  sentence stage  text encoding (+ ensembles/negatives) -> CLIP scoring ->
+                  box-relation + GEM guidance -> selection -> IoU update
+
+The host only: decodes images, runs the expression parser/tokenizer, and
+carries the reference's *sticky* k1/k2 clamp (reference:
+Hybridgl_main.py:178-181 mutates k1/k2 for the rest of the run; reproduced
+when CompatConfig.k_clamp_sticky).
+
+This mirrors the reference driver's semantics (reference:
+Hybridgl_main.py:23-231) with the host<->device chatter removed: the
+reference crosses the device boundary per mask and per sentence; here each
+stage is one dispatch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PipelineConfig
+from ..eval.metrics import IoUAccum, mask_iou
+from ..kernels.masks import box_xyxy_to_xywh
+from ..kernels.resize import place_valid_region, resize_bilinear, valid_mask
+from ..lang import ExpressionParser, ParsedExpression, get_parser
+from ..models.clip import tokenizer as tok
+from ..models.clip.fusion import calculate_score, hybrid_forward
+from ..models.clip.text import encode_text
+from ..models.gem.gem import gem_heatmap, gem_preprocess
+from ..models.sam.amg import Proposals, generate_proposals
+from .guidance import (
+    dir_flag_id,
+    gem_mask_scores,
+    normalize_heatmap,
+    rela_flag_id,
+    select_candidates,
+)
+from .preprocess import build_crops
+
+
+class ImageSample(NamedTuple):
+    """Host-prepared per-image inputs (see data/datasets.py)."""
+
+    image_1024: np.ndarray  # [1024, 1024, 3] uint8, long-side resized + padded
+    rh: int  # valid rows in the 1024 frame
+    rw: int
+    image_canonical: np.ndarray  # [C, C, 3] uint8, original res at origin
+    h: int  # original height (<= C)
+    w: int
+    gt_mask: Optional[np.ndarray]  # [C, C] bool (None for demo)
+    sentences: Sequence[str]
+
+
+class SentenceResult(NamedTuple):
+    sentence: str
+    pure_index: int
+    final_index: int
+    pure_iou: float
+    final_iou: float
+
+
+@dataclass
+class PipelineState:
+    """Host-side mutable run state (sticky clamps + metric accumulators)."""
+
+    k1: int
+    k2: int
+    pure: IoUAccum
+    final: IoUAccum
+
+
+class HybridGLPipeline:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        sam_params,
+        clip_params,
+        parser: Optional[ExpressionParser] = None,
+        tokenizer: Optional[tok.ClipTokenizer] = None,
+    ):
+        self.cfg = cfg
+        self.sam_params = sam_params
+        self.clip_params = clip_params
+        self.parser = parser or get_parser(
+            rela_right_bug=cfg.compat.rela_right_bug
+        )
+        self.tokenizer = tokenizer or tok.default_tokenizer()
+        self._build_stages()
+
+    # ------------------------------------------------------------------ jit
+    def _build_stages(self):
+        cfg = self.cfg
+        sam_cfg, clip_cfg = cfg.sam, cfg.clip
+        C = cfg.canonical_size
+
+        def image_stage(sam_params, clip_params, image_1024, rh, rw, image_c, h, w):
+            props = generate_proposals(
+                sam_params, image_1024, rh, rw, h, w, sam_cfg, cfg.amg, C
+            )
+            glob, local = build_crops(
+                image_c, props.masks, (h, w), cfg.crop_size, cfg.blur_ksize
+            )
+            feats = hybrid_forward(
+                clip_params["visual"],
+                local,
+                glob,
+                props.masks.astype(jnp.float32),
+                clip_cfg,
+                fusion_mode=cfg.fusion_mode,
+                masking_block=cfg.guidance.masking_block,
+                compat=cfg.compat,
+            )
+            # squash-resize the valid region to the GEM input size (uint8
+            # rounding matches the reference's PIL intermediate), then
+            # normalize with the OpenAI CLIP statistics
+            gem_u8 = jnp.round(
+                resize_bilinear(
+                    image_c, (cfg.gem.img_size, cfg.gem.img_size), src_hw=(h, w)
+                )
+            ).astype(jnp.uint8)
+            gem_img = gem_preprocess(gem_u8, cfg.gem.img_size)
+            return props, feats, gem_img
+
+        def sentence_stage(
+            clip_params,
+            props: Proposals,
+            feats,
+            gem_img,
+            h,
+            w,
+            toks_sentence,  # [77]
+            toks_np,  # [77]
+            toks_others,  # [K, 77]
+            n_others,  # int scalar
+            dir_flag,
+            rela_flag,
+            black,
+            has_other,
+            k1,
+            k2,
+            gt_mask,
+        ):
+            text_p = clip_params["text"]
+            stacked = jnp.concatenate(
+                [toks_sentence[None], toks_np[None], toks_others], axis=0
+            )
+            tf = encode_text(text_p, stacked, clip_cfg)
+            sent_f, np_f, other_f = tf[0], tf[1], tf[2:]
+            r = cfg.guidance.r
+            text_ensemble = r * sent_f + (1 - r) * np_f
+
+            ls = clip_params["logit_scale"]
+            score = calculate_score(feats, text_ensemble[None], ls)[:, 0]
+            k_mask = (jnp.arange(other_f.shape[0]) < n_others)[:, None]
+            neg_sum = jnp.where(k_mask, other_f, 0.0).sum(0)
+            neg_mean = jnp.where(n_others > 0, neg_sum / jnp.maximum(n_others, 1), 0.0)
+            # guard the zero vector (reference leaves NaNs in the unused branch)
+            neg_norm = jnp.maximum(jnp.linalg.norm(neg_mean), 1e-6)
+            score_neg = (
+                jnp.exp(ls)
+                * (feats / jnp.linalg.norm(feats, axis=-1, keepdims=True))
+                @ (neg_mean / neg_norm)
+            )
+
+            # GEM heatmap for the noun phrase -> back to the original (h, w)
+            # region of the canonical frame (reference resizes the 448-frame
+            # map to the image size, Hybridgl_main.py:201)
+            heat448 = gem_heatmap(clip_params, gem_img, np_f[None], clip_cfg, cfg.gem)[0]
+            heat = place_valid_region(heat448, heat448.shape, (C, C), (h, w))
+            vm = valid_mask((C, C), (h, w))
+            heat = normalize_heatmap(heat, vm, dir_flag)
+
+            gem_scores = gem_mask_scores(heat, props.masks, vm, black)
+
+            sel = select_candidates(
+                score,
+                score_neg,
+                box_xyxy_to_xywh(props.boxes_xyxy),
+                gem_scores,
+                props.valid,
+                rela_flag,
+                has_other,
+                k1,
+                k2,
+                alpha=cfg.guidance.alpha,
+            )
+            pure_iu = mask_iou(props.masks[sel.pure_index], gt_mask)
+            final_iu = mask_iou(props.masks[sel.final_index], gt_mask)
+            return sel, score, pure_iu, final_iu
+
+        self._image_stage = jax.jit(image_stage)
+        self._sentence_stage = jax.jit(sentence_stage)
+
+    # ----------------------------------------------------------------- host
+    def init_state(self) -> PipelineState:
+        return PipelineState(
+            k1=self.cfg.guidance.k1,
+            k2=self.cfg.guidance.k2,
+            pure=IoUAccum(0.0, 0.0, 0.0, 0.0),
+            final=IoUAccum(0.0, 0.0, 0.0, 0.0),
+        )
+
+    def _tokenize_parsed(self, parsed: ParsedExpression):
+        K = self.cfg.guidance.max_other_nouns
+        L = self.cfg.clip.context_length
+        tk = dict(tokenizer=self.tokenizer, context_length=L, truncate=True)
+        toks_sentence = tok.tokenize(parsed.sentence, **tk)[0]
+        toks_np = tok.tokenize(parsed.noun_phrase, **tk)[0]
+        others = parsed.other_noun_phrases[:K]
+        toks_others = np.zeros((K, L), np.int32)
+        for i, noun in enumerate(others):
+            toks_others[i] = tok.tokenize("a photo of " + noun, **tk)[0]
+        return toks_sentence, toks_np, toks_others, len(others)
+
+    def _black(self, rela_flag: str) -> float:
+        g = self.cfg.guidance
+        if rela_flag == "big":
+            return g.black_big
+        if rela_flag == "small":
+            return g.black_small
+        return g.black_other
+
+    def run_image(
+        self, sample: ImageSample, state: PipelineState
+    ) -> List[SentenceResult]:
+        """Process one image; mutates ``state`` accumulators (host loop)."""
+        props, feats, gem_img = self._image_stage(
+            self.sam_params,
+            self.clip_params,
+            jnp.asarray(sample.image_1024),
+            sample.rh,
+            sample.rw,
+            jnp.asarray(sample.image_canonical),
+            sample.h,
+            sample.w,
+        )
+        num_props = int(props.num)
+        if num_props == 0:
+            # no proposals survived: count a miss per sentence (the reference
+            # would crash on torch.stack([]); we record IoU 0 to keep long
+            # runs alive)
+            gt_area = float(np.sum(sample.gt_mask)) if sample.gt_mask is not None else 0.0
+            out = []
+            for s in sample.sentences:
+                miss = (0.0, gt_area, 0.0)
+                state.pure = _accumulate(state.pure, miss)
+                state.final = _accumulate(state.final, miss)
+                out.append(SentenceResult(s, -1, -1, 0.0, 0.0))
+            return out
+
+        # sticky clamp (reference: Hybridgl_main.py:178-181)
+        if self.cfg.compat.k_clamp_sticky:
+            if state.k1 > num_props:
+                state.k1 = num_props
+            if state.k2 > num_props:
+                state.k2 = num_props
+            k1, k2 = state.k1, state.k2
+        else:
+            k1 = min(self.cfg.guidance.k1, num_props)
+            k2 = min(self.cfg.guidance.k2, num_props)
+
+        gt = (
+            jnp.asarray(sample.gt_mask)
+            if sample.gt_mask is not None
+            else jnp.zeros((self.cfg.canonical_size,) * 2, bool)
+        )
+
+        results = []
+        for sentence in sample.sentences:
+            parsed = self.parser.parse(sentence)
+            toks_s, toks_np_, toks_o, n_others = self._tokenize_parsed(parsed)
+            sel, score, pure_iu, final_iu = self._sentence_stage(
+                self.clip_params,
+                props,
+                feats,
+                gem_img,
+                sample.h,
+                sample.w,
+                jnp.asarray(toks_s),
+                jnp.asarray(toks_np_),
+                jnp.asarray(toks_o),
+                n_others,
+                dir_flag_id(parsed.dir_flag),
+                rela_flag_id(parsed.rela_flag),
+                self._black(parsed.rela_flag),
+                parsed.has_other_nouns,
+                k1,
+                k2,
+                gt,
+            )
+            if sample.gt_mask is not None:
+                state.pure = _accumulate(state.pure, pure_iu)
+                state.final = _accumulate(state.final, final_iu)
+            results.append(
+                SentenceResult(
+                    sentence,
+                    int(sel.pure_index),
+                    int(sel.final_index),
+                    float(pure_iu[2]),
+                    float(final_iu[2]),
+                )
+            )
+        return results
+
+
+def _accumulate(acc: IoUAccum, iu) -> IoUAccum:
+    i, u, iou = (float(x) for x in iu)
+    return IoUAccum(
+        acc.cum_i + i, acc.cum_u + u, acc.sum_iou + iou, acc.count + 1.0
+    )

@@ -1,0 +1,115 @@
+"""End-to-end pipeline smoke test on tiny random models (CPU).
+
+Checks that the whole device pipeline (proposals -> crops -> fusion ->
+text -> GEM -> guidance -> selection -> IoU) runs under jit with static
+shapes, produces sane outputs, and that metric accumulation matches the
+per-sentence IoUs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hybridgl_tpu.core.config import AmgConfig, GemConfig, PipelineConfig
+from hybridgl_tpu.core.params import init_clip, init_sam
+from hybridgl_tpu.lang import HeuristicParser
+from hybridgl_tpu.pipeline.runner import HybridGLPipeline, ImageSample
+
+from torch_ref import tiny_clip_config
+from torch_ref_sam import tiny_sam_config
+
+
+class FakeTokenizer:
+    """Deterministic stand-in so the suite runs without the BPE vocab."""
+
+    sot_token = 99
+    eot_token = 100
+
+    def encode(self, text):
+        return [(hash(w) % 97) + 1 for w in text.split()][:40]
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    clip_cfg = tiny_clip_config()
+    sam_cfg = tiny_sam_config()
+    cfg = PipelineConfig(
+        clip_config=clip_cfg,
+        sam_config=sam_cfg,
+        fusion_mode="G2L",
+        canonical_size=32,
+        crop_size=clip_cfg.image_size,
+        amg=AmgConfig(
+            points_per_side=4,
+            points_per_batch=8,
+            pred_iou_thresh=0.0,
+            stability_score_thresh=0.0,
+            max_proposals=8,
+        ),
+        gem=GemConfig(img_size=32, depth=2),
+    )
+    # masking_block analogue for the 3-block tiny CLIP
+    cfg = cfg.replace(
+        guidance=cfg.guidance.__class__(masking_block=clip_cfg.vision_layers - 2)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    clip_params = init_clip(keys[0], clip_cfg)
+    sam_params = init_sam(keys[1], sam_cfg)
+    # tiny random SAM needs nonzero rel-pos etc; leave zeros (valid path)
+    return HybridGLPipeline(
+        cfg,
+        sam_params,
+        clip_params,
+        parser=HeuristicParser(),
+        tokenizer=FakeTokenizer(),
+    )
+
+
+def make_sample(rng, sam_cfg, canonical=32, h=24, w=32):
+    img1024 = np.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), np.uint8)
+    rh, rw = sam_cfg.img_size * h // max(h, w), sam_cfg.img_size * w // max(h, w)
+    img1024[:rh, :rw] = rng.integers(0, 255, (rh, rw, 3), np.uint8)
+    imgc = np.zeros((canonical, canonical, 3), np.uint8)
+    imgc[:h, :w] = rng.integers(0, 255, (h, w, 3), np.uint8)
+    gt = np.zeros((canonical, canonical), bool)
+    gt[4:16, 6:20] = True
+    return ImageSample(
+        image_1024=img1024,
+        rh=rh,
+        rw=rw,
+        image_canonical=imgc,
+        h=h,
+        w=w,
+        gt_mask=gt,
+        sentences=["the red cup on the left", "dog under the table"],
+    )
+
+
+def test_pipeline_runs_and_accumulates(pipeline):
+    rng = np.random.default_rng(0)
+    state = pipeline.init_state()
+    sample = make_sample(rng, pipeline.cfg.sam)
+    results = pipeline.run_image(sample, state)
+    assert len(results) == 2
+    for r in results:
+        assert 0.0 <= r.pure_iou <= 1.0
+        assert 0.0 <= r.final_iou <= 1.0
+    assert int(state.pure.count) == 2
+    assert int(state.final.count) == 2
+    got = state.pure.sum_iou
+    want = sum(r.pure_iou for r in results)
+    assert abs(got - want) < 1e-6
+
+
+def test_pipeline_sticky_k_clamp(pipeline):
+    rng = np.random.default_rng(1)
+    state = pipeline.init_state()
+    assert state.k1 == 3 and state.k2 == 6
+    sample = make_sample(rng, pipeline.cfg.sam)
+    pipeline.run_image(sample, state)
+    # with the tiny random model few proposals survive; sticky clamp must
+    # never increase k afterwards
+    k1_after = state.k1
+    pipeline.run_image(make_sample(np.random.default_rng(2), pipeline.cfg.sam), state)
+    assert state.k1 <= k1_after
