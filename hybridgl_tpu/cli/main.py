@@ -1,0 +1,203 @@
+"""Flag-compatible eval driver (the reference's ``Hybridgl_main.py``).
+
+Usage (mirrors reference README.md:58-62):
+    hybridgl-main --dataset refcoco --split val --fusion_mode G2L
+
+Accepts the reference's flag surface (reference: utils.py:397-471) —
+including the vestigial detectron2 flags, parsed and ignored exactly like
+the reference ignores them — plus TPU-native additions (checkpoint paths,
+proposal bucket, resume, parity log).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core.config import AMG_PHRASECUT, AMG_REFCOCO, PipelineConfig
+from ..core.params import init_clip, init_sam
+from ..eval.logging import ProgressCheckpoint, write_result_log
+from ..eval.parity import ParityLog, SelectionRecord
+from ..pipeline.runner import HybridGLPipeline
+
+
+def default_argument_parser(epilog=None) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        epilog=epilog, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    # reference-compatible flags (utils.py:424-469); dist-era flags are
+    # parsed-and-ignored for drop-in compatibility
+    p.add_argument("--config-file", default="", metavar="FILE")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-only", action="store_false")
+    p.add_argument("--num-gpus", type=int, default=1)
+    p.add_argument("--num-machines", type=int, default=1)
+    p.add_argument("--machine-rank", type=int, default=0)
+    p.add_argument("--dist-url", default="")
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    p.add_argument("--clip_model", default="ViT-B/16")
+    p.add_argument("--visual_proj_path", default="./pretrain/")
+    p.add_argument("--dataset", default="refcocog", help="refcoco, refcoco+, refcocog")
+    p.add_argument("--split", default="val", help="val, testA, testB, test")
+    p.add_argument("--fusion_mode", default="G2L")
+    p.add_argument("--splitBy", default="umd")
+    p.add_argument("--img_size", default=480, type=int)
+    p.add_argument("--refer_data_root", default="./refer/data/")
+    p.add_argument("--show_results", action="store_true")
+    # TPU-native additions
+    p.add_argument("--sam_model", default="vit_h", help="vit_b, vit_l, vit_h")
+    p.add_argument("--sam_checkpoint", default="", help="converted .npz/orbax dir, or a torch .pth")
+    p.add_argument("--clip_checkpoint", default="", help="converted .npz/orbax dir, or a torch .pt")
+    p.add_argument("--random-weights", action="store_true", help="random init (smoke runs)")
+    p.add_argument("--max_proposals", type=int, default=0, help="proposal bucket override")
+    p.add_argument("--max_images", type=int, default=0, help="truncate the eval set")
+    p.add_argument("--log_dir", default="./result_log")
+    p.add_argument("--parity_log", default="", help="write per-ref selection log here")
+    p.add_argument("--progress_file", default="", help="checkpoint/resume eval progress")
+    p.add_argument("--no-bug-compat", action="store_true", help="disable reference quirk reproduction")
+    return p
+
+
+def load_params(args, cfg: PipelineConfig):
+    import jax
+
+    if args.random_weights:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        return init_sam(k1, cfg.sam), init_clip(k2, cfg.clip)
+    if not args.sam_checkpoint or not args.clip_checkpoint:
+        raise SystemExit(
+            "--sam_checkpoint and --clip_checkpoint are required "
+            "(or pass --random-weights for a smoke run). Convert torch "
+            "checkpoints with tools/convert_checkpoints.py."
+        )
+
+    def load_one(path, kind):
+        if path.endswith((".pth", ".pt")):
+            from ..core import convert
+
+            loader = convert.load_torch_sam if kind == "sam" else convert.load_torch_clip
+            params, _ = loader(path)
+            return params
+        return ckpt.load(path)
+
+    return load_one(args.sam_checkpoint, "sam"), load_one(args.clip_checkpoint, "clip")
+
+
+def build_config(args) -> PipelineConfig:
+    dataset = args.dataset
+    split_by = "umd" if dataset == "refcocog" else "unc"
+    amg = AMG_PHRASECUT if dataset == "phrasecut" else AMG_REFCOCO
+    if args.max_proposals:
+        import dataclasses
+
+        amg = dataclasses.replace(amg, max_proposals=args.max_proposals)
+    cfg = PipelineConfig(
+        clip_model=args.clip_model,
+        sam_model=args.sam_model,
+        fusion_mode=args.fusion_mode,
+        amg=amg,
+        canonical_size=1024 if dataset == "phrasecut" else 640,
+    )
+    if args.no_bug_compat:
+        from ..core.config import CompatConfig
+
+        cfg = cfg.replace(compat=CompatConfig(False, False, False))
+    args.splitBy = split_by  # reference overrides the flag (Hybridgl_main.py:26-29)
+    return cfg
+
+
+def main(argv=None) -> None:
+    args = default_argument_parser().parse_args(argv)
+    assert args.eval_only, "Only eval_only available!"
+    cfg = build_config(args)
+    sam_params, clip_params = load_params(args, cfg)
+    pipe = HybridGLPipeline(cfg, sam_params, clip_params)
+
+    if args.dataset == "phrasecut":
+        from ..data.datasets import PhraseCutDataset
+
+        dataset = PhraseCutDataset(
+            args.refer_data_root, split=args.split, canonical=cfg.canonical_size
+        )
+        ref_ids = list(range(len(dataset)))
+    else:
+        from ..data.datasets import ReferDataset
+
+        dataset = ReferDataset(
+            args.refer_data_root,
+            args.dataset,
+            args.splitBy,
+            args.split,
+            sam_img_size=cfg.sam.img_size,
+            canonical=cfg.canonical_size,
+        )
+        ref_ids = dataset.ref_ids
+
+    n = len(dataset)
+    if args.max_images:
+        n = min(n, args.max_images)
+
+    state = pipe.init_state()
+    progress = ProgressCheckpoint(args.progress_file or None)
+    start = progress.load(state) if args.resume else 0
+    parity = ParityLog(
+        meta=dict(dataset=args.dataset, split=args.split, fusion=args.fusion_mode)
+    )
+
+    from ..data.prefetch import IndexedPrefetcher
+
+    t0 = time.time()
+    images_done = 0
+    it = iter(IndexedPrefetcher(_Sliced(dataset, start, n)))
+    for offset, sample in enumerate(it):
+        i = start + offset
+        results = pipe.run_image(sample, state)
+        images_done += 1
+        for r in results:
+            parity.add(
+                SelectionRecord(
+                    int(ref_ids[i]), r.sentence, r.pure_index, r.final_index,
+                    r.pure_iou, r.final_iou,
+                )
+            )
+        if images_done % 20 == 0:
+            rate = images_done / (time.time() - t0)
+            print(
+                f"[{i + 1}/{n}] {rate:.2f} img/s | "
+                f"pure oIoU {100 * float(state.pure.cum_i) / max(float(state.pure.cum_u), 1):.2f} | "
+                f"final oIoU {100 * float(state.final.cum_i) / max(float(state.final.cum_u), 1):.2f}",
+                flush=True,
+            )
+            progress.save(i, state)
+
+    write_result_log(
+        args.log_dir, args.dataset, args.split, args.splitBy, args.fusion_mode,
+        state.pure, state.final,
+    )
+    if args.parity_log:
+        parity.save(args.parity_log)
+    dt = time.time() - t0
+    print(f"done: {images_done} images in {dt:.1f}s ({images_done / max(dt, 1e-9):.2f} img/s)")
+
+
+class _Sliced:
+    def __init__(self, dataset, start, stop):
+        self.dataset, self.start, self.stop = dataset, start, stop
+
+    def __len__(self):
+        return max(0, self.stop - self.start)
+
+    def __getitem__(self, i):
+        return self.dataset[self.start + i]
+
+
+def cli():
+    main(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    cli()
