@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark (one real TPU chip).
+
+Measures the full per-image pipeline at production shapes — SAM ViT-H
+proposals (1024^2 input, pps=8 grid, P=64 bucket) + device crop prep +
+CLIP ViT-B/16 G2L hybrid fusion + text/GEM guidance + selection + IoU —
+i.e. the same work the reference does per RefCOCO image
+(reference: Hybridgl_main.py:79-231), with randomly initialised weights
+(throughput is weight-independent).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured/1.0 img/s — the reference publishes no
+throughput (BASELINE.md), so 1.0 img/s is our estimate of its host-bound
+single-A100 end-to-end rate (SAM ViT-H forward plus per-mask host loops).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_IMG_PER_S = 1.0  # assumed reference A100 end-to-end rate
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hybridgl_tpu.core.config import PipelineConfig
+    from hybridgl_tpu.core.params import cast_pytree, init_clip, init_sam
+    from hybridgl_tpu.lang import HeuristicParser
+    from hybridgl_tpu.pipeline.runner import HybridGLPipeline, ImageSample
+
+    n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
+    n_iter = int(os.environ.get("BENCH_ITERS", "8"))
+    sam_model = os.environ.get("BENCH_SAM", "vit_h")
+    sentences_per_image = float(os.environ.get("BENCH_SENTENCES", "2"))
+
+    cfg = PipelineConfig(sam_model=sam_model, fusion_mode="G2L")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    sam_params = init_sam(k1, cfg.sam)
+    clip_params = init_clip(k2, cfg.clip)
+    # serve in bf16 (params); activations follow
+    compute = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    sam_params = cast_pytree(sam_params, compute)
+    clip_params_c = cast_pytree(clip_params, compute)
+    clip_params_c["logit_scale"] = jnp.asarray(clip_params["logit_scale"], jnp.float32)
+
+    class _Tok:
+        sot_token, eot_token = 49406, 49407
+
+        def encode(self, text):
+            return [(hash(w) % 49000) + 1 for w in text.split()][:40]
+
+    pipe = HybridGLPipeline(
+        cfg, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=_Tok()
+    )
+
+    rng = np.random.default_rng(0)
+    h, w = 480, 640
+    rh, rw = 768, 1024
+    C = cfg.canonical_size
+    S = cfg.sam.img_size
+
+    def make_sample(i):
+        img1024 = np.zeros((S, S, 3), np.uint8)
+        img1024[:rh, :rw] = rng.integers(0, 255, (rh, rw, 3), np.uint8)
+        imgc = np.zeros((C, C, 3), np.uint8)
+        imgc[:h, :w] = rng.integers(0, 255, (h, w, 3), np.uint8)
+        gt = np.zeros((C, C), bool)
+        gt[100:300, 150:400] = True
+        sents = ["the large brown dog on the left", "person behind the table"]
+        return ImageSample(img1024, rh, rw, imgc, h, w, gt, sents[: int(sentences_per_image)])
+
+    state = pipe.init_state()
+    # warmup (compilation)
+    t_compile = time.time()
+    for i in range(n_warm):
+        pipe.run_image(make_sample(i), state)
+    compile_s = time.time() - t_compile
+
+    samples = [make_sample(100 + i) for i in range(n_iter)]
+    t0 = time.time()
+    for s in samples:
+        pipe.run_image(s, state)
+    dt = time.time() - t0
+    img_per_s = n_iter / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_images_per_sec_per_chip",
+                "value": round(img_per_s, 4),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
+            }
+        )
+    )
+    print(
+        f"# sam={sam_model} iters={n_iter} wall={dt:.2f}s "
+        f"warmup(compile)={compile_s:.1f}s device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

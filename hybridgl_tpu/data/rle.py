@@ -22,6 +22,24 @@ import numpy as np
 
 Rle = Dict[str, Union[List[int], str, tuple]]
 
+_native_mod = None
+_native_checked = False
+
+
+def _native():
+    """The ctypes-bound C++ codec, or None (numpy fallback)."""
+    global _native_mod, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from . import rle_native
+
+            if rle_native.available():
+                _native_mod = rle_native
+        except Exception:
+            _native_mod = None
+    return _native_mod
+
 
 # ---------------------------------------------------------------------------
 # core binary <-> counts
@@ -31,6 +49,9 @@ Rle = Dict[str, Union[List[int], str, tuple]]
 def encode(mask: np.ndarray) -> Rle:
     """Binary [H, W] mask -> uncompressed RLE dict (counts list)."""
     h, w = mask.shape
+    native_counts = _native().encode_counts(mask) if _native() else None
+    if native_counts is not None:
+        return {"size": [h, w], "counts": native_counts}
     flat = np.asfortranarray(mask.astype(bool)).reshape(-1, order="F")
     # positions where the value changes
     diff = np.nonzero(flat[1:] != flat[:-1])[0] + 1
@@ -49,6 +70,10 @@ def decode(rle: Rle) -> np.ndarray:
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):
         counts = decompress_counts(counts)
+    if _native():
+        m = _native().decode_counts(counts, h, w)
+        if m is not None:
+            return m
     counts = np.asarray(counts, np.int64)
     total = int(counts.sum())
     vals = np.zeros(len(counts), bool)
@@ -77,7 +102,18 @@ def merge(rles: Sequence[Rle], intersect: bool = False) -> Rle:
     return encode(acc)
 
 
+def _counts_of(r: Rle):
+    c = r["counts"]
+    return decompress_counts(c) if isinstance(c, (str, bytes)) else c
+
+
 def iou(a: Rle, b: Rle) -> float:
+    if _native():
+        ca, cb = _counts_of(a), _counts_of(b)
+        inter = _native().overlap_area(ca, cb, union=False)
+        union = _native().overlap_area(ca, cb, union=True)
+        if inter is not None and union is not None:
+            return float(inter) / float(union) if union else 0.0
     ma, mb = decode(a), decode(b)
     inter = np.logical_and(ma, mb).sum()
     union = np.logical_or(ma, mb).sum()
@@ -103,6 +139,10 @@ def to_bbox(rle: Rle) -> np.ndarray:
 
 def compress_counts(counts: Sequence[int]) -> str:
     """counts -> COCO compressed string (delta + 5-bit varint + chr(+48))."""
+    if _native():
+        s = _native().compress(counts)
+        if s is not None:
+            return s
     out = []
     for i, x in enumerate(counts):
         x = int(x)
@@ -122,6 +162,10 @@ def compress_counts(counts: Sequence[int]) -> str:
 def decompress_counts(s: Union[str, bytes]) -> List[int]:
     if isinstance(s, bytes):
         s = s.decode("ascii")
+    if _native():
+        c = _native().decompress(s)
+        if c is not None:
+            return c
     counts: List[int] = []
     i = 0
     while i < len(s):

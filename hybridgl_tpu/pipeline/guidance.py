@@ -214,12 +214,14 @@ def select_candidates(
     sm = jax.nn.softmax(masked)
     sm_neg = jax.nn.softmax(masked_neg)
 
-    _, maxidxs = jax.lax.top_k(masked, K1_MAX)
-    _, maxneg = jax.lax.top_k(masked_neg, K2_MAX)
+    k1_max = min(K1_MAX, P)
+    k2_max = min(K2_MAX, P)
+    _, maxidxs = jax.lax.top_k(masked, k1_max)
+    _, maxneg = jax.lax.top_k(masked_neg, k2_max)
 
-    i_valid = jnp.arange(K1_MAX) < k1
-    j1_valid = jnp.arange(K1_MAX) < k1  # nouns-empty branch: j over maxidxs
-    j2_valid = jnp.arange(K2_MAX) < k2
+    i_valid = jnp.arange(k1_max) < k1
+    j1_valid = jnp.arange(k1_max) < k1  # nouns-empty branch: j over maxidxs
+    j2_valid = jnp.arange(k2_max) < k2
 
     bi = boxes_xywh[maxidxs]
     si = sm[maxidxs]
