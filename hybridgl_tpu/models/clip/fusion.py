@@ -41,11 +41,15 @@ def last_layer_index(cfg: ClipConfig) -> int:
     return cfg.vision_layers - 2
 
 
-def resize_masks_to_grid(pred_masks: jax.Array, grid: int) -> jax.Array:
+def resize_masks_to_grid(pred_masks: jax.Array, grid: int, masks_hw=None) -> jax.Array:
     """[P, H, W] bool/float -> [P, grid, grid] float via bilinear (matches
-    torchvision TF.resize on float masks, backbone.py:160)."""
+    torchvision TF.resize on float masks, backbone.py:160).
+
+    ``masks_hw``: optional valid (h, w) extent when the masks live in a
+    zero-padded canonical frame — only that region is resized.
+    """
     m = pred_masks.astype(jnp.float32)
-    return jax.vmap(lambda x: resize_bilinear(x, (grid, grid)))(m)
+    return jax.vmap(lambda x: resize_bilinear(x, (grid, grid), src_hw=masks_hw))(m)
 
 
 def make_attn_bias(masks_grid: jax.Array) -> jax.Array:
@@ -84,12 +88,15 @@ def hybrid_forward(
     fusion_mode: str = "G2L",
     masking_block: int = 9,
     compat: CompatConfig = CompatConfig(),
+    masks_hw=None,
 ) -> jax.Array:
     """Compute hybrid CLS features for P proposals.
 
     Args:
       local_imgs / global_imgs: [P, S, S, 3] NHWC, CLIP-preprocessed.
       pred_masks: [P, H, W] proposal masks (bool or float), any resolution.
+      masks_hw: optional valid (h, w) extent of ``pred_masks`` when they
+        live in a zero-padded canonical frame.
     Returns: [P, embed_dim] features (mode 'G2L&L2G' returns the summed
       hybrid features, matching the reference).
     """
@@ -103,7 +110,7 @@ def hybrid_forward(
             x = vit_block(p_visual["blocks"][i], x, cfg)
         return vit_head(p_visual, x, cfg)
 
-    masks_grid = resize_masks_to_grid(pred_masks, cfg.grid)
+    masks_grid = resize_masks_to_grid(pred_masks, cfg.grid, masks_hw)
 
     x = vit_stem(p_visual, local_imgs, cfg)
 

@@ -86,6 +86,7 @@ def _single_image_step(sam_params, clip_params, sample: EvalBatch, cfg: Pipeline
         fusion_mode=cfg.fusion_mode,
         masking_block=cfg.guidance.masking_block,
         compat=cfg.compat,
+        masks_hw=(sample.h, sample.w),
     )
     tf = encode_text(
         clip_params["text"],

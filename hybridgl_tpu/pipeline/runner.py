@@ -119,6 +119,7 @@ class HybridGLPipeline:
                 fusion_mode=cfg.fusion_mode,
                 masking_block=cfg.guidance.masking_block,
                 compat=cfg.compat,
+                masks_hw=(h, w),
             )
             # squash-resize the valid region to the GEM input size (uint8
             # rounding matches the reference's PIL intermediate), then
