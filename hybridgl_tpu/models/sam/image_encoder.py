@@ -17,6 +17,8 @@ TPU structure notes:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -66,6 +68,18 @@ def decomposed_rel_pos_bias(q: jax.Array, rel_pos_h, rel_pos_w, size: int):
     return bias.reshape(B, H, size * size, size * size)
 
 
+def use_flash_attention() -> bool:
+    """Pallas flash attention for the 4096-token global blocks: forced by
+    $HYBRIDGL_FLASH (1/0), else enabled on TPU backends."""
+    env = os.environ.get("HYBRIDGL_FLASH")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
     """Windowed/global attention over an [B, S, S, D] tile with rel-pos."""
     B = x.shape[0]
@@ -80,14 +94,47 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
 
     q, k, v = heads(q), heads(k), heads(v)
     scale = hd**-0.5
-    attn = jnp.einsum(
-        "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
-    )
-    attn = attn + decomposed_rel_pos_bias(
-        q, p_attn["rel_pos_h"].astype(x.dtype), p_attn["rel_pos_w"].astype(x.dtype), size
-    )
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32)
+
+    if size >= 32 and use_flash_attention():
+        # fold the decomposed rel-pos bias into the Pallas flash kernel:
+        # precompute the two rank-G terms from q (tiny), never materialise
+        # the [S, S] bias or attention matrix
+        Rh = get_rel_pos_table(size, p_attn["rel_pos_h"].astype(x.dtype))
+        Rw = get_rel_pos_table(size, p_attn["rel_pos_w"].astype(x.dtype))
+        S = size * size
+        r_q = q.reshape(B, num_heads, size, size, hd)
+        rel_h = jnp.einsum(
+            "bnhwc,hkc->bnhwk", r_q, Rh, preferred_element_type=jnp.float32
+        ).reshape(B * num_heads, S, size)
+        rel_w = jnp.einsum(
+            "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
+        ).reshape(B * num_heads, S, size)
+        from ...kernels.flash_attention import flash_attention_rel_pos
+
+        out = flash_attention_rel_pos(
+            (q * scale).reshape(B * num_heads, S, hd),
+            k.reshape(B * num_heads, S, hd),
+            v.reshape(B * num_heads, S, hd),
+            rel_h.astype(x.dtype),
+            rel_w.astype(x.dtype),
+            size,
+        )
+        out = out.reshape(B, num_heads, S, hd)
+    else:
+        attn = jnp.einsum(
+            "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = attn + decomposed_rel_pos_bias(
+            q,
+            p_attn["rel_pos_h"].astype(x.dtype),
+            p_attn["rel_pos_w"].astype(x.dtype),
+            size,
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32
+        )
+
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, size * size, D)
     out = out @ p_attn["proj_w"].astype(x.dtype) + p_attn["proj_b"].astype(x.dtype)
     return out.reshape(B, size, size, D)

@@ -1,0 +1,61 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hybridgl_tpu.kernels.flash_attention import (
+    flash_attention_rel_pos,
+    reference_attention_rel_pos,
+)
+
+
+@pytest.mark.parametrize("block_q,block_k", [(32, 32), (64, 16), (16, 64)])
+def test_flash_matches_reference(rng, block_q, block_k):
+    G = 8
+    S = G * G
+    BH, hd = 3, 16
+    q = rng.standard_normal((BH, S, hd), dtype=np.float32) * 0.3
+    k = rng.standard_normal((BH, S, hd), dtype=np.float32) * 0.3
+    v = rng.standard_normal((BH, S, hd), dtype=np.float32)
+    rel_h = rng.standard_normal((BH, S, G), dtype=np.float32) * 0.5
+    rel_w = rng.standard_normal((BH, S, G), dtype=np.float32) * 0.5
+
+    ref = np.asarray(
+        reference_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(rel_h), jnp.asarray(rel_w), G,
+        )
+    )
+    ours = np.asarray(
+        flash_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(rel_h), jnp.asarray(rel_w), G,
+            block_q=block_q, block_k=block_k, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_extreme_logits_stable(rng):
+    # online softmax must stay finite with large score magnitudes
+    G, BH, hd = 8, 1, 8
+    S = G * G
+    q = rng.standard_normal((BH, S, hd), dtype=np.float32) * 30
+    k = rng.standard_normal((BH, S, hd), dtype=np.float32) * 30
+    v = rng.standard_normal((BH, S, hd), dtype=np.float32)
+    zeros = np.zeros((BH, S, G), np.float32)
+    out = np.asarray(
+        flash_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(zeros), jnp.asarray(zeros), G,
+            block_q=16, block_k=16, interpret=True,
+        )
+    )
+    assert np.isfinite(out).all()
+    ref = np.asarray(
+        reference_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(zeros), jnp.asarray(zeros), G,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
