@@ -66,16 +66,7 @@ def main(argv=None) -> None:
         print("no proposals found")
         return
 
-    props, _, _ = pipe._image_stage(
-        pipe.sam_params,
-        pipe.clip_params,
-        np.asarray(sample.image_1024),
-        sample.rh,
-        sample.rw,
-        np.asarray(sample.image_canonical),
-        sample.h,
-        sample.w,
-    )
+    props = pipe.propose(sample)
     mask = np.asarray(props.masks[r.final_index])[: sample.h, : sample.w]
     vis = overlay(image[: sample.h, : sample.w], mask)
     Image.fromarray(vis).save(args.out)

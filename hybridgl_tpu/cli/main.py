@@ -59,6 +59,8 @@ def default_argument_parser(epilog=None) -> argparse.ArgumentParser:
     p.add_argument("--parity_log", default="", help="write per-ref selection log here")
     p.add_argument("--progress_file", default="", help="checkpoint/resume eval progress")
     p.add_argument("--no-bug-compat", action="store_true", help="disable reference quirk reproduction")
+    p.add_argument("--profile", action="store_true", help="print a per-stage time summary")
+    p.add_argument("--trace_dir", default="", help="capture a jax profiler trace here")
     return p
 
 
@@ -116,6 +118,10 @@ def main(argv=None) -> None:
     cfg = build_config(args)
     sam_params, clip_params = load_params(args, cfg)
     pipe = HybridGLPipeline(cfg, sam_params, clip_params)
+    if args.profile:
+        from ..utils.profiling import StageTimer
+
+        pipe.timer = StageTimer(block=True)
 
     if args.dataset == "phrasecut":
         from ..data.datasets import PhraseCutDataset
@@ -149,10 +155,13 @@ def main(argv=None) -> None:
     )
 
     from ..data.prefetch import IndexedPrefetcher
+    from ..utils.profiling import capture_trace
 
     t0 = time.time()
     images_done = 0
     it = iter(IndexedPrefetcher(_Sliced(dataset, start, n)))
+    trace_ctx = capture_trace(args.trace_dir or None)
+    trace_ctx.__enter__()
     for offset, sample in enumerate(it):
         i = start + offset
         results = pipe.run_image(sample, state)
@@ -174,6 +183,9 @@ def main(argv=None) -> None:
             )
             progress.save(i, state)
 
+    trace_ctx.__exit__(None, None, None)
+    if args.profile and pipe.timer is not None:
+        print(pipe.timer.summary())
     write_result_log(
         args.log_dir, args.dataset, args.split, args.splitBy, args.fusion_mode,
         state.pure, state.final,

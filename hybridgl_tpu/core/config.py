@@ -175,6 +175,8 @@ class AmgConfig:
     min_mask_region_area: int = 800
     # static shape discipline
     max_proposals: int = 64
+    # per-crop survivor bucket for the multi-crop path (crop_n_layers >= 1)
+    max_candidates_per_crop: int = 256
 
 
 AMG_REFCOCO = AmgConfig()

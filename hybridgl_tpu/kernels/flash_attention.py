@@ -49,7 +49,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, m_scr, l_scr, acc_
     v = v_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [TQ, TK]
 
-    rh = rh_ref[0].astype(jnp.float32)  # [TQ, rows_per_ktile]
+    # rel_h arrives transposed ([rows_per_ktile, TQ] tile) so the lane dim
+    # is TQ (128-aligned); one small transpose rebuilds the [TQ, ...] view
+    rh = rh_ref[0].astype(jnp.float32).T  # [TQ, rows_per_ktile]
     rw = rw_ref[0].astype(jnp.float32)  # [TQ, G]
     bias = jnp.concatenate(
         [rh[:, r : r + 1] + rw for r in range(rows_per_ktile)], axis=1
@@ -99,6 +101,7 @@ def flash_attention_rel_pos(
         _flash_kernel, rows_per_ktile=rows_per_ktile, grid_side=G, nk=nk
     )
     grid = (BH, nq, nk)
+    rel_h_t = rel_h.transpose(0, 2, 1)  # [BH, G, S]: lane dim = S (aligned)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -107,7 +110,7 @@ def flash_attention_rel_pos(
             pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec(
-                (1, block_q, rows_per_ktile), lambda b, qi, ki: (b, qi, ki)
+                (1, rows_per_ktile, block_q), lambda b, qi, ki: (b, ki, qi)
             ),
             pl.BlockSpec((1, block_q, G), lambda b, qi, ki: (b, qi, 0)),
         ],
@@ -119,7 +122,7 @@ def flash_attention_rel_pos(
             pltpu.VMEM((block_q, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w)
+    )(q, k, v, rel_h_t, rel_w)
 
 
 def reference_attention_rel_pos(q, k, v, rel_h, rel_w, grid_side):

@@ -139,6 +139,111 @@ def place_valid_region(
     return jnp.where(valid, out, 0.0)
 
 
+def sample_region(
+    img: jax.Array,
+    src_origin,  # (y0, x0), traced ok
+    src_hw,  # (sh, sw), traced ok
+    out_hw: tuple[int, int],
+) -> jax.Array:
+    """Bilinear-resize img[y0:y0+sh, x0:x0+sw] to a static (OH, OW).
+
+    The crop window may be fully dynamic — this is what lets the
+    multi-crop AMG resize arbitrary crop boxes under one compiled program.
+    """
+    OH, OW = out_hw
+    y0 = jnp.asarray(src_origin[0], jnp.float32)
+    x0 = jnp.asarray(src_origin[1], jnp.float32)
+    sh = jnp.asarray(src_hw[0], jnp.float32)
+    sw = jnp.asarray(src_hw[1], jnp.float32)
+
+    i = jnp.arange(OH, dtype=jnp.float32)
+    j = jnp.arange(OW, dtype=jnp.float32)
+    cy = y0 + jnp.clip((i + 0.5) * (sh / OH) - 0.5, 0.0, sh - 1.0)
+    cx = x0 + jnp.clip((j + 0.5) * (sw / OW) - 0.5, 0.0, sw - 1.0)
+
+    y0i = jnp.floor(cy).astype(jnp.int32)
+    x0i = jnp.floor(cx).astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, (y0 + sh).astype(jnp.int32) - 1)
+    x1i = jnp.minimum(x0i + 1, (x0 + sw).astype(jnp.int32) - 1)
+    wy = cy - y0i
+    wx = cx - x0i
+
+    compute = img if jnp.issubdtype(img.dtype, jnp.floating) else img.astype(jnp.float32)
+    top = _gather_axis(compute, y0i, 0)
+    bot = _gather_axis(compute, y1i, 0)
+
+    def lerp_rows(rows):
+        l = _gather_axis(rows, x0i, 1)
+        r = _gather_axis(rows, x1i, 1)
+        wxb = wx.reshape((1, OW) + (1,) * (rows.ndim - 2))
+        return l + (r - l) * wxb
+
+    top = lerp_rows(top)
+    bot = lerp_rows(bot)
+    wyb = wy.reshape((OH, 1) + (1,) * (img.ndim - 2))
+    return top + (bot - top) * wyb
+
+
+def place_region(
+    img: jax.Array,
+    src_hw,
+    out_frame: tuple[int, int],
+    dst_origin,  # (y0, x0) traced
+    dst_hw,  # (dh, dw) traced
+    fill=0.0,
+    src_origin=(0, 0),  # (sy0, sx0) traced: crop window origin in img
+) -> jax.Array:
+    """Resize img[sy0:sy0+sh, sx0:sx0+sw] to (dh, dw) placed at (y0, x0) of
+    a fill-padded static frame. Covers both the 'uncrop' of multi-crop AMG
+    (reference: utils/amg.py:255-264) and crop-cutting with resize."""
+    OH, OW = out_frame
+    y0 = jnp.asarray(dst_origin[0], jnp.float32)
+    x0 = jnp.asarray(dst_origin[1], jnp.float32)
+    dh = jnp.asarray(dst_hw[0], jnp.float32)
+    dw = jnp.asarray(dst_hw[1], jnp.float32)
+    sh = jnp.asarray(src_hw[0], jnp.float32)
+    sw = jnp.asarray(src_hw[1], jnp.float32)
+    sy0 = jnp.asarray(src_origin[0], jnp.float32)
+    sx0 = jnp.asarray(src_origin[1], jnp.float32)
+
+    i = jnp.arange(OH, dtype=jnp.float32)
+    j = jnp.arange(OW, dtype=jnp.float32)
+    # output pixel (i, j) samples source at ((i - y0 + .5) * sh/dh - .5, ...)
+    cy = sy0 + jnp.clip((i - y0 + 0.5) * (sh / dh) - 0.5, 0.0, sh - 1.0)
+    cx = sx0 + jnp.clip((j - x0 + 0.5) * (sw / dw) - 0.5, 0.0, sw - 1.0)
+
+    y0i = jnp.floor(cy).astype(jnp.int32)
+    x0i = jnp.floor(cx).astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, (sy0 + sh).astype(jnp.int32) - 1)
+    x1i = jnp.minimum(x0i + 1, (sx0 + sw).astype(jnp.int32) - 1)
+    wy = cy - y0i
+    wx = cx - x0i
+
+    compute = img if jnp.issubdtype(img.dtype, jnp.floating) else img.astype(jnp.float32)
+    top = _gather_axis(compute, y0i, 0)
+    bot = _gather_axis(compute, y1i, 0)
+
+    def lerp_rows(rows):
+        l = _gather_axis(rows, x0i, 1)
+        r = _gather_axis(rows, x1i, 1)
+        wxb = wx.reshape((1, OW) + (1,) * (rows.ndim - 2))
+        return l + (r - l) * wxb
+
+    top = lerp_rows(top)
+    bot = lerp_rows(bot)
+    wyb = wy.reshape((OH, 1) + (1,) * (img.ndim - 2))
+    out = top + (bot - top) * wyb
+
+    inside = (
+        (i.reshape(OH, 1) >= y0)
+        & (i.reshape(OH, 1) < y0 + dh)
+        & (j.reshape(1, OW) >= x0)
+        & (j.reshape(1, OW) < x0 + dw)
+    )
+    inside = inside.reshape((OH, OW) + (1,) * (img.ndim - 2))
+    return jnp.where(inside, out, fill)
+
+
 def valid_mask(frame: tuple[int, int], hw) -> jax.Array:
     """Boolean [H, W] mask of the valid (h, w) region of a padded frame."""
     H, W = frame

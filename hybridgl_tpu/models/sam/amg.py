@@ -38,7 +38,9 @@ from ...kernels.masks import (
     stability_score,
 )
 from ...kernels.nms import kept_in_score_order, nms
-from ...kernels.resize import place_valid_region
+from ...kernels.resize import place_region, place_valid_region
+from .prompt_encoder import dense_pe, embed_points, no_mask_dense
+from .decoder import predict_masks
 from .sam import encode, predict_points, preprocess_padded, upscale_logits_to_input_frame
 
 PAD_NEG = -1e4  # logit fill outside the valid image region
@@ -192,6 +194,301 @@ def generate_proposals(
         iou_preds=iou_all[kept_idx] * kept_valid,
         stability=stab_all[kept_idx] * kept_valid,
         points=(pts01 * orig_scale) * kept_valid[:, None],
+        areas=masks.sum(axis=(-2, -1)).astype(jnp.float32),
+        valid=kept_valid,
+        num=res.num_kept.astype(jnp.int32).clip(0, P),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-crop AMG (crop_n_layers >= 1 — the PhraseCut configuration,
+# reference: Hybridgl_main_PhraseCut.py:56-62, generate_crop_boxes
+# utils/amg.py:200-234)
+# ---------------------------------------------------------------------------
+
+
+def _crop_boxes_layer1(h, w, overlap_ratio: float):
+    """The four layer-1 crop boxes as traced (y0, x0, ch, cw) tuples
+    (reference: utils/amg.py:200-234 with n_layers=1)."""
+    hf = jnp.asarray(h, jnp.float32)
+    wf = jnp.asarray(w, jnp.float32)
+    short = jnp.minimum(hf, wf)
+    overlap = jnp.floor(overlap_ratio * short)  # int() truncation, positive
+    crop_w = jnp.ceil((overlap + wf) / 2.0)
+    crop_h = jnp.ceil((overlap + hf) / 2.0)
+    x0s = [jnp.float32(0.0), jnp.floor(crop_w - overlap)]
+    y0s = [jnp.float32(0.0), jnp.floor(crop_h - overlap)]
+    boxes = []
+    for x0 in x0s:  # reference iterates product(x0s, y0s) in x-major order
+        for y0 in y0s:
+            x1 = jnp.minimum(x0 + crop_w, wf)
+            y1 = jnp.minimum(y0 + crop_h, hf)
+            boxes.append((y0, x0, y1 - y0, x1 - x0))
+    return boxes
+
+
+def _score_crop_candidates(
+    p_sam,
+    embedding,
+    grid01: np.ndarray,
+    crop_origin,  # (y0, x0) in canonical coords (traced)
+    crop_extent,  # (ch, cw) (traced)
+    crop_rhw,  # valid extent in the crop's 1024 frame (traced)
+    img_hw,  # full-image (h, w)
+    sam_cfg: SamConfig,
+    amg_cfg: AmgConfig,
+    canonical: int,
+):
+    """Pass-1 scoring of every (point, channel) candidate of one crop.
+    Returns (iou, stab, boxes, valid, n_candidates)."""
+    chunks = _chunk_points(grid01, amg_cfg.points_per_batch)
+    n_points = grid01.shape[0]
+    M, B = 3, amg_cfg.points_per_batch
+    rh, rw = crop_rhw
+    ch, cw = crop_extent
+    y0, x0 = crop_origin
+    h, w = img_hw
+    scale_1024 = jnp.stack([jnp.asarray(rw, jnp.float32), jnp.asarray(rh, jnp.float32)])
+
+    wf = jnp.asarray(w, jnp.float32)
+    hf = jnp.asarray(h, jnp.float32)
+    img_box = jnp.stack([jnp.float32(0), jnp.float32(0), wf, hf])
+    x0f = jnp.asarray(x0, jnp.float32)
+    y0f = jnp.asarray(y0, jnp.float32)
+    crop_box = jnp.stack(
+        [x0f, y0f, x0f + jnp.asarray(cw, jnp.float32), y0f + jnp.asarray(ch, jnp.float32)]
+    )
+
+    all_iou, all_stab, all_boxes, all_valid = [], [], [], []
+    for ci in range(chunks.shape[0]):
+        pts01 = jnp.asarray(chunks[ci])
+        coords = (pts01 * scale_1024)[:, None, :]
+        labels = jnp.ones((B, 1), jnp.float32)
+        low_res, iou_preds = predict_points(
+            p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
+        )
+        flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
+        up = upscale_logits_to_input_frame(flat, sam_cfg)
+
+        def place(m):
+            # crop 1024-frame -> canonical frame at the crop's position
+            return place_region(m, (rh, rw), (canonical, canonical), (y0, x0), (ch, cw), fill=PAD_NEG)
+
+        logits = jax.vmap(place)(up)
+        stab = stability_score(
+            logits, sam_cfg.mask_threshold, amg_cfg.stability_score_offset
+        )
+        masks = logits > sam_cfg.mask_threshold
+        boxes = mask_to_box(masks)
+        valid = jnp.ones((B * M,), bool)
+        if amg_cfg.pred_iou_thresh > 0:
+            valid &= iou_preds.reshape(-1) > amg_cfg.pred_iou_thresh
+        if amg_cfg.stability_score_thresh > 0:
+            valid &= stab >= amg_cfg.stability_score_thresh
+        valid &= ~box_near_crop_edge(boxes, crop_box, img_box)
+        valid &= masks.any(axis=(-2, -1))
+        all_iou.append(iou_preds.reshape(-1))
+        all_stab.append(stab)
+        all_boxes.append(boxes)
+        all_valid.append(valid)
+
+    n_cand = chunks.shape[0] * B * M
+    point_idx = jnp.arange(n_cand) // M
+    valid_all = jnp.concatenate(all_valid) & (point_idx < n_points)
+    return (
+        jnp.concatenate(all_iou),
+        jnp.concatenate(all_stab),
+        jnp.concatenate(all_boxes),
+        valid_all,
+        n_cand,
+    )
+
+
+def generate_proposals_multicrop(
+    p_sam,
+    image_1024: jax.Array,  # full-image long-side-resized frame (host PIL)
+    rh,
+    rw,
+    image_canonical: jax.Array,  # [C, C, 3] uint8, crops are cut from here
+    h,
+    w,
+    sam_cfg: SamConfig,
+    amg_cfg: AmgConfig,
+    canonical: int = 1024,
+) -> Proposals:
+    """AMG with one crop layer (full image + 4 overlapping crops).
+
+    Mirrors the reference flow (reference: automatic_mask_generator.py:197-264):
+    per-crop candidate scoring + per-crop NMS, then cross-crop NMS scored by
+    1/crop-area (smaller crops preferred), then a re-decode of the survivors.
+    Per-crop survivors are capped at ``amg_cfg.max_candidates_per_crop`` (a
+    bucket the reference doesn't need; sized well above typical survivor
+    counts).
+    """
+    assert amg_cfg.crop_n_layers == 1, "only crop_n_layers in (0, 1) supported"
+    M = 3
+    K = amg_cfg.max_candidates_per_crop
+    ds = amg_cfg.crop_n_points_downscale_factor
+    grid_full = build_point_grid(amg_cfg.points_per_side)
+    grid_crop = build_point_grid(max(int(amg_cfg.points_per_side / ds), 1))
+
+    # ---- full-image crop -------------------------------------------------
+    x_full = preprocess_padded(image_1024, (rh, rw), sam_cfg)
+    emb_full = encode(p_sam, x_full, sam_cfg)
+    crops = [
+        dict(
+            embedding=emb_full,
+            grid=grid_full,
+            origin=(jnp.float32(0.0), jnp.float32(0.0)),
+            extent=(jnp.asarray(h, jnp.float32), jnp.asarray(w, jnp.float32)),
+            rhw=(jnp.asarray(rh, jnp.int32), jnp.asarray(rw, jnp.int32)),
+        )
+    ]
+    # ---- layer-1 crops ---------------------------------------------------
+    for (cy0, cx0, ch_, cw_) in _crop_boxes_layer1(h, w, amg_cfg.crop_overlap_ratio):
+        S = sam_cfg.img_size
+        long_side = jnp.maximum(ch_, cw_)
+        scale = S / long_side
+        crh = jnp.floor(ch_ * scale + 0.5).astype(jnp.int32)
+        crw = jnp.floor(cw_ * scale + 0.5).astype(jnp.int32)
+        from ...kernels.resize import sample_region
+
+        # cut the crop from the canonical frame and long-side-resize it into
+        # the (crh, crw) corner of a zero-padded SxS frame (the reference's
+        # longest-side resize + pad, transforms.py:26-31 + sam.py:164-174)
+        frame = place_region(
+            image_canonical.astype(jnp.float32),
+            (ch_, cw_),
+            (S, S),
+            (0, 0),
+            (crh, crw),
+            src_origin=(cy0, cx0),
+        )
+        x_c = preprocess_padded(frame, (crh, crw), sam_cfg)
+        emb_c = encode(p_sam, x_c, sam_cfg)
+        crops.append(
+            dict(
+                embedding=emb_c,
+                grid=grid_crop,
+                origin=(cy0, cx0),
+                extent=(ch_, cw_),
+                rhw=(crh, crw),
+            )
+        )
+
+    # ---- pass 1 + per-crop NMS ------------------------------------------
+    sel_boxes, sel_iou, sel_stab, sel_valid = [], [], [], []
+    sel_crop_id, sel_cand_idx, sel_inv_area = [], [], []
+    for crop_id, crop in enumerate(crops):
+        iou_c, stab_c, boxes_c, valid_c, n_cand = _score_crop_candidates(
+            p_sam,
+            crop["embedding"],
+            crop["grid"],
+            crop["origin"],
+            crop["extent"],
+            crop["rhw"],
+            (h, w),
+            sam_cfg,
+            amg_cfg,
+            canonical,
+        )
+        res = nms(boxes_c, iou_c, amg_cfg.box_nms_thresh, valid_c)
+        kept_idx, kept_valid = kept_in_score_order(res, K)
+        sel_boxes.append(boxes_c[kept_idx])
+        sel_iou.append(iou_c[kept_idx] * kept_valid)
+        sel_stab.append(stab_c[kept_idx] * kept_valid)
+        sel_valid.append(kept_valid)
+        sel_cand_idx.append(kept_idx)
+        sel_crop_id.append(jnp.full((K,), crop_id, jnp.int32))
+        ch_, cw_ = crop["extent"]
+        area = jnp.asarray(ch_, jnp.float32) * jnp.asarray(cw_, jnp.float32)
+        sel_inv_area.append(jnp.full((K,), 1.0, jnp.float32) / area)
+
+    boxes_all = jnp.concatenate(sel_boxes)
+    iou_all = jnp.concatenate(sel_iou)
+    stab_all = jnp.concatenate(sel_stab)
+    valid_all = jnp.concatenate(sel_valid)
+    crop_id_all = jnp.concatenate(sel_crop_id)
+    cand_idx_all = jnp.concatenate(sel_cand_idx)
+    inv_area_all = jnp.concatenate(sel_inv_area)
+
+    # ---- cross-crop NMS (scores = 1/crop-area; reference :210-220) -------
+    res = nms(boxes_all, inv_area_all, amg_cfg.crop_nms_thresh, valid_all)
+    P = amg_cfg.max_proposals
+    kept, kept_valid = kept_in_score_order(res, P)
+
+    kept_crop = crop_id_all[kept]
+    kept_cand = cand_idx_all[kept]
+    kept_point = kept_cand // M
+    kept_channel = kept_cand % M
+
+    # ---- pass 2: re-decode survivors from their own crop embedding -------
+    emb_stack = jnp.stack([c["embedding"] for c in crops])  # [nc, g, g, C]
+    pe = dense_pe(p_sam["prompt"], sam_cfg)
+    # per-candidate point coords in the crop's 1024 frame
+    grids = [
+        jnp.asarray(_chunk_points(c["grid"], amg_cfg.points_per_batch)).reshape(-1, 2)
+        for c in crops
+    ]
+    maxg = max(g.shape[0] for g in grids)
+    grids_padded = jnp.stack(
+        [jnp.pad(g, ((0, maxg - g.shape[0]), (0, 0))) for g in grids]
+    )  # [nc, maxg, 2]
+    rws = jnp.stack([jnp.asarray(c["rhw"][1], jnp.float32) for c in crops])
+    rhs = jnp.stack([jnp.asarray(c["rhw"][0], jnp.float32) for c in crops])
+    pts01 = grids_padded[kept_crop, kept_point]  # [P, 2]
+    coords = pts01 * jnp.stack([rws[kept_crop], rhs[kept_crop]], axis=-1)
+
+    sparse = embed_points(
+        p_sam["prompt"], coords[:, None, :], jnp.ones((P, 1), jnp.float32), sam_cfg
+    )
+    dense = no_mask_dense(p_sam["prompt"], sam_cfg, P)
+
+    def decode_one(emb_i, sparse_i, dense_i):
+        m, _ = predict_masks(
+            p_sam["decoder"],
+            emb_i,
+            pe,
+            sparse_i[None],
+            sam_cfg,
+            dense_prompts=dense_i[None],
+            multimask_output=True,
+        )
+        return m[0]  # [3, 256, 256]
+
+    low_res = jax.vmap(decode_one)(emb_stack[kept_crop], sparse, dense)
+    sel = jnp.take_along_axis(low_res, kept_channel.reshape(P, 1, 1, 1), axis=1)[:, 0]
+    up = upscale_logits_to_input_frame(sel, sam_cfg)
+
+    oy = jnp.stack([jnp.asarray(c["origin"][0], jnp.float32) for c in crops])
+    ox = jnp.stack([jnp.asarray(c["origin"][1], jnp.float32) for c in crops])
+    eh = jnp.stack([jnp.asarray(c["extent"][0], jnp.float32) for c in crops])
+    ew = jnp.stack([jnp.asarray(c["extent"][1], jnp.float32) for c in crops])
+
+    def place_one(m, ci):
+        return place_region(
+            m,
+            (rhs[ci], rws[ci]),
+            (canonical, canonical),
+            (oy[ci], ox[ci]),
+            (eh[ci], ew[ci]),
+            fill=PAD_NEG,
+        )
+
+    logits = jax.vmap(place_one)(up, kept_crop)
+    masks = (logits > sam_cfg.mask_threshold) & kept_valid[:, None, None]
+
+    # points recorded in original-image coords (reference uncrops points)
+    points = pts01 * jnp.stack([ew[kept_crop], eh[kept_crop]], axis=-1) + jnp.stack(
+        [ox[kept_crop], oy[kept_crop]], axis=-1
+    )
+
+    return Proposals(
+        masks=masks,
+        boxes_xyxy=boxes_all[kept] * kept_valid[:, None],
+        iou_preds=iou_all[kept] * kept_valid,
+        stability=stab_all[kept] * kept_valid,
+        points=points * kept_valid[:, None],
         areas=masks.sum(axis=(-2, -1)).astype(jnp.float32),
         valid=kept_valid,
         num=res.num_kept.astype(jnp.int32).clip(0, P),

@@ -1,0 +1,126 @@
+"""Small-region mask postprocessing (host boundary step).
+
+Rebuilds the reference's ``postprocess_small_regions``
+(reference: automatic_mask_generator.py:323-372 + utils/amg.py:267-291):
+for every surviving proposal, fill holes smaller than ``min_area``, drop
+islands smaller than ``min_area`` (keeping the largest island if all are
+below threshold), then re-run NMS with score 1 for unchanged masks and 0
+for changed ones so duplicates created by the cleanup are removed with a
+preference for untouched masks.
+
+Connected components are inherently host work (cv2); this runs once per
+image on the <= max_proposals kept masks between the proposal jit and the
+feature jit — a bounded, prefetch-overlappable host step rather than the
+reference's per-candidate host loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..models.sam.amg import Proposals
+
+
+def remove_small_regions(
+    mask: np.ndarray, area_thresh: float, mode: str
+) -> Tuple[np.ndarray, bool]:
+    """Fill small holes / drop small islands (reference semantics,
+    utils/amg.py:267-291). Returns (mask, changed)."""
+    import cv2
+
+    assert mode in ("holes", "islands")
+    correct_holes = mode == "holes"
+    working = (correct_holes ^ mask).astype(np.uint8)
+    n_labels, regions, stats, _ = cv2.connectedComponentsWithStats(working, 8)
+    sizes = stats[1:, -1]  # row 0 is background
+    small = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
+    if not small:
+        return mask, False
+    fill = [0] + small
+    if not correct_holes:
+        fill = [i for i in range(n_labels) if i not in fill]
+        if not fill:  # keep the largest island if everything is small
+            fill = [int(np.argmax(sizes)) + 1]
+    return np.isin(regions, fill), True
+
+
+def _np_box(mask: np.ndarray) -> np.ndarray:
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros(4, np.float32)
+    return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+
+
+def _np_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float):
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            lt = np.maximum(boxes[i, :2], boxes[j, :2])
+            rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[0] * wh[1]
+            ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            aj = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            union = ai + aj - inter
+            if union > 0 and inter / union > thresh:
+                suppressed[j] = True
+    return keep
+
+
+def postprocess_small_regions(
+    props: Proposals, min_area: int, nms_thresh: float
+) -> Proposals:
+    """Host pass over a numpy-materialised Proposals bundle. Suppressed
+    duplicates are invalidated in place (static shapes preserved); kept
+    masks/boxes are updated where the cleanup changed them."""
+    masks = np.asarray(props.masks)
+    boxes = np.asarray(props.boxes_xyxy).copy()
+    valid = np.asarray(props.valid).copy()
+    n = int(np.asarray(props.num))
+    if n == 0 or min_area <= 0:
+        return props
+
+    new_masks = masks.copy()
+    changed_flags = np.zeros(len(masks), bool)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        m = masks[i]
+        m2, ch1 = remove_small_regions(m, min_area, "holes")
+        m2, ch2 = remove_small_regions(m2, min_area, "islands")
+        changed = ch1 or ch2
+        new_masks[i] = m2
+        changed_flags[i] = changed
+
+    idx = [i for i in range(n) if valid[i]]
+    nms_boxes = np.stack([_np_box(new_masks[i]) for i in idx])
+    scores = np.array([0.0 if changed_flags[i] else 1.0 for i in idx], np.float32)
+    keep = _np_nms(nms_boxes, scores, nms_thresh)
+    keep_set = {idx[k] for k in keep}
+    for pos, i in enumerate(idx):
+        if i not in keep_set:
+            valid[i] = False
+            new_masks[i] = False
+        elif changed_flags[i]:
+            boxes[i] = nms_boxes[pos]
+
+    areas = new_masks.sum(axis=(-2, -1)).astype(np.float32)
+    return Proposals(
+        masks=new_masks,
+        boxes_xyxy=boxes * valid[:, None],
+        iou_preds=np.asarray(props.iou_preds) * valid,
+        stability=np.asarray(props.stability) * valid,
+        points=np.asarray(props.points) * valid[:, None],
+        areas=areas,
+        valid=valid,
+        num=np.asarray(valid.sum(), np.int32),
+    )

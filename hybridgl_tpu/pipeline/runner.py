@@ -37,7 +37,11 @@ from ..models.clip import tokenizer as tok
 from ..models.clip.fusion import calculate_score, hybrid_forward
 from ..models.clip.text import encode_text
 from ..models.gem.gem import gem_heatmap, gem_preprocess
-from ..models.sam.amg import Proposals, generate_proposals
+from ..models.sam.amg import (
+    Proposals,
+    generate_proposals,
+    generate_proposals_multicrop,
+)
 from .guidance import (
     dir_flag_id,
     gem_mask_scores,
@@ -95,6 +99,7 @@ class HybridGLPipeline:
             rela_right_bug=cfg.compat.rela_right_bug
         )
         self.tokenizer = tokenizer or tok.default_tokenizer()
+        self.timer = None  # optional utils.profiling.StageTimer
         self._build_stages()
 
     # ------------------------------------------------------------------ jit
@@ -103,10 +108,16 @@ class HybridGLPipeline:
         sam_cfg, clip_cfg = cfg.sam, cfg.clip
         C = cfg.canonical_size
 
-        def image_stage(sam_params, clip_params, image_1024, rh, rw, image_c, h, w):
-            props = generate_proposals(
+        def proposal_stage(sam_params, image_1024, rh, rw, image_c, h, w):
+            if cfg.amg.crop_n_layers >= 1:
+                return generate_proposals_multicrop(
+                    sam_params, image_1024, rh, rw, image_c, h, w, sam_cfg, cfg.amg, C
+                )
+            return generate_proposals(
                 sam_params, image_1024, rh, rw, h, w, sam_cfg, cfg.amg, C
             )
+
+        def feature_stage(clip_params, props, image_c, h, w):
             glob, local = build_crops(
                 image_c, props.masks, (h, w), cfg.crop_size, cfg.blur_ksize
             )
@@ -130,7 +141,7 @@ class HybridGLPipeline:
                 )
             ).astype(jnp.uint8)
             gem_img = gem_preprocess(gem_u8, cfg.gem.img_size)
-            return props, feats, gem_img
+            return feats, gem_img
 
         def sentence_stage(
             clip_params,
@@ -199,7 +210,8 @@ class HybridGLPipeline:
             final_iu = mask_iou(props.masks[sel.final_index], gt_mask)
             return sel, score, pure_iu, final_iu
 
-        self._image_stage = jax.jit(image_stage)
+        self._proposal_stage = jax.jit(proposal_stage)
+        self._feature_stage = jax.jit(feature_stage)
         self._sentence_stage = jax.jit(sentence_stage)
 
     # ----------------------------------------------------------------- host
@@ -231,20 +243,52 @@ class HybridGLPipeline:
             return g.black_small
         return g.black_other
 
+    def propose(self, sample: ImageSample) -> Proposals:
+        """SAM proposal generation + (optional) host small-region cleanup
+        (reference: automatic_mask_generator.py:166-171 applies it whenever
+        min_mask_region_area > 0 — true for both driver configs)."""
+        with self._span("proposals"):
+            props = self._proposal_stage(
+                self.sam_params,
+                jnp.asarray(sample.image_1024),
+                sample.rh,
+                sample.rw,
+                jnp.asarray(sample.image_canonical),
+                sample.h,
+                sample.w,
+            )
+        if self.cfg.amg.min_mask_region_area > 0:
+            from .postprocess import postprocess_small_regions
+
+            with self._span("small_region_cleanup"):
+                props = postprocess_small_regions(
+                    props,
+                    self.cfg.amg.min_mask_region_area,
+                    max(self.cfg.amg.box_nms_thresh, self.cfg.amg.crop_nms_thresh),
+                )
+                props = Proposals(*(jnp.asarray(x) for x in props))
+        return props
+
+    def _span(self, name: str):
+        import contextlib
+
+        if self.timer is None:
+            return contextlib.nullcontext()
+        return self.timer.span(name)
+
     def run_image(
         self, sample: ImageSample, state: PipelineState
     ) -> List[SentenceResult]:
         """Process one image; mutates ``state`` accumulators (host loop)."""
-        props, feats, gem_img = self._image_stage(
-            self.sam_params,
-            self.clip_params,
-            jnp.asarray(sample.image_1024),
-            sample.rh,
-            sample.rw,
-            jnp.asarray(sample.image_canonical),
-            sample.h,
-            sample.w,
-        )
+        props = self.propose(sample)
+        with self._span("crops+fusion"):
+            feats, gem_img = self._feature_stage(
+                self.clip_params,
+                props,
+                jnp.asarray(sample.image_canonical),
+                sample.h,
+                sample.w,
+            )
         num_props = int(props.num)
         if num_props == 0:
             # no proposals survived: count a miss per sentence (the reference
@@ -278,27 +322,29 @@ class HybridGLPipeline:
 
         results = []
         for sentence in sample.sentences:
-            parsed = self.parser.parse(sentence)
-            toks_s, toks_np_, toks_o, n_others = self._tokenize_parsed(parsed)
-            sel, score, pure_iu, final_iu = self._sentence_stage(
-                self.clip_params,
-                props,
-                feats,
-                gem_img,
-                sample.h,
-                sample.w,
-                jnp.asarray(toks_s),
-                jnp.asarray(toks_np_),
-                jnp.asarray(toks_o),
-                n_others,
-                dir_flag_id(parsed.dir_flag),
-                rela_flag_id(parsed.rela_flag),
-                self._black(parsed.rela_flag),
-                parsed.has_other_nouns,
-                k1,
-                k2,
-                gt,
-            )
+            with self._span("parse+tokenize"):
+                parsed = self.parser.parse(sentence)
+                toks_s, toks_np_, toks_o, n_others = self._tokenize_parsed(parsed)
+            with self._span("sentence_stage"):
+                sel, score, pure_iu, final_iu = self._sentence_stage(
+                    self.clip_params,
+                    props,
+                    feats,
+                    gem_img,
+                    sample.h,
+                    sample.w,
+                    jnp.asarray(toks_s),
+                    jnp.asarray(toks_np_),
+                    jnp.asarray(toks_o),
+                    n_others,
+                    dir_flag_id(parsed.dir_flag),
+                    rela_flag_id(parsed.rela_flag),
+                    self._black(parsed.rela_flag),
+                    parsed.has_other_nouns,
+                    k1,
+                    k2,
+                    gt,
+                )
             if sample.gt_mask is not None:
                 state.pure = _accumulate(state.pure, pure_iu)
                 state.final = _accumulate(state.final, final_iu)

@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hybridgl_tpu.models.sam.amg import Proposals
+from hybridgl_tpu.pipeline.postprocess import (
+    postprocess_small_regions,
+    remove_small_regions,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_remove_small_holes():
+    m = np.ones((20, 20), bool)
+    m[5:7, 5:7] = False  # 4-px hole
+    out, changed = remove_small_regions(m, 10, "holes")
+    assert changed and out.all()
+
+
+def test_remove_small_islands_keeps_large():
+    m = np.zeros((30, 30), bool)
+    m[:10, :10] = True  # 100 px island
+    m[20:22, 20:22] = True  # 4 px island
+    out, changed = remove_small_regions(m, 10, "islands")
+    assert changed
+    assert out[:10, :10].all() and not out[20:22, 20:22].any()
+
+
+def test_remove_all_small_keeps_largest():
+    m = np.zeros((30, 30), bool)
+    m[0:2, 0:3] = True  # 6 px
+    m[10:12, 10:12] = True  # 4 px
+    out, changed = remove_small_regions(m, 100, "islands")
+    assert changed
+    assert out[0:2, 0:3].all() and not out[10:12, 10:12].any()
+
+
+def _make_props(masks):
+    P = len(masks)
+    boxes = np.zeros((P, 4), np.float32)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            boxes[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    return Proposals(
+        masks=jnp.asarray(np.stack(masks)),
+        boxes_xyxy=jnp.asarray(boxes),
+        iou_preds=jnp.ones(P, jnp.float32),
+        stability=jnp.ones(P, jnp.float32),
+        points=jnp.zeros((P, 2), jnp.float32),
+        areas=jnp.asarray(np.stack(masks).sum((-2, -1)), jnp.float32),
+        valid=jnp.ones(P, bool),
+        num=jnp.asarray(P, jnp.int32),
+    )
+
+
+def test_postprocess_dedups_after_cleanup():
+    # two masks that become identical once the small blob is removed:
+    # the changed one must be suppressed in favour of the unchanged one
+    base = np.zeros((40, 40), bool)
+    base[5:25, 5:25] = True
+    noisy = base.copy()
+    noisy[35:37, 35:37] = True  # 4-px extra island
+    props = _make_props([base, noisy])
+    out = postprocess_small_regions(props, min_area=10, nms_thresh=0.7)
+    valid = np.asarray(out.valid)
+    assert valid[0] and not valid[1]
+    assert int(np.asarray(out.num)) == 1
+    np.testing.assert_array_equal(np.asarray(out.masks)[0], base)
+
+
+def test_postprocess_fills_holes_and_updates_boxes():
+    m = np.zeros((40, 40), bool)
+    m[10:30, 10:30] = True
+    m[15:17, 15:17] = False  # hole
+    props = _make_props([m])
+    out = postprocess_small_regions(props, min_area=10, nms_thresh=0.7)
+    got = np.asarray(out.masks)[0]
+    assert got[15, 15]  # hole filled
+    assert float(np.asarray(out.areas)[0]) == got.sum()
+
+
+def test_postprocess_noop_when_disabled():
+    m = np.zeros((20, 20), bool)
+    m[2:8, 2:8] = True
+    props = _make_props([m])
+    out = postprocess_small_regions(props, min_area=0, nms_thresh=0.7)
+    assert out is props
