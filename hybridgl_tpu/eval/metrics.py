@@ -65,6 +65,26 @@ def psum_accum(acc: IoUAccum, axis_name: str) -> IoUAccum:
     return IoUAccum(*(jax.lax.psum(x, axis_name) for x in acc))
 
 
+def compute_iou(pred, target, cum_i=0.0, cum_u=0.0, mean_iou=None):
+    """Signature-compatible helper for users migrating from the reference's
+    ``Compute_IoU`` (utils.py:365-384): returns
+    (this_iou, mean_iou_list, cum_i, cum_u). Note the reference's mutable
+    default argument is NOT reproduced — pass your own list."""
+    import numpy as np
+
+    if mean_iou is None:
+        mean_iou = []
+    p = np.asarray(pred).astype(bool)
+    t = np.asarray(target).astype(bool)
+    if t.ndim == p.ndim + 1:
+        t = t.squeeze(0)
+    i = float(np.logical_and(p, t).sum())
+    u = float(np.logical_or(p, t).sum())
+    this_iou = 0.0 if u == 0 else i / u
+    mean_iou.append(this_iou)
+    return this_iou, mean_iou, cum_i + i, cum_u + u
+
+
 def report(acc: IoUAccum) -> dict:
     return {
         "oIoU": float(acc.overall_iou) * 100.0,

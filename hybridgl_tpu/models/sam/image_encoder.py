@@ -69,15 +69,18 @@ def decomposed_rel_pos_bias(q: jax.Array, rel_pos_h, rel_pos_w, size: int):
 
 
 def use_flash_attention() -> bool:
-    """Pallas flash attention for the 4096-token global blocks: forced by
-    $HYBRIDGL_FLASH (1/0), else enabled on TPU backends."""
+    """Pallas flash attention for the 4096-token global blocks, opt-in via
+    $HYBRIDGL_FLASH=1.
+
+    Default is OFF: on v5e the XLA-fused bf16 attention currently wins
+    end-to-end (measured 2.47 vs 1.01 img/s with the pallas path on the
+    full pipeline) — the [S, S] score tensor of a 4096-token block fits
+    HBM comfortably and XLA's fusion+pipelining beats this kernel's
+    current tiling. The kernel stays available (and tested) as the basis
+    for future tuning / longer-sequence models.
+    """
     env = os.environ.get("HYBRIDGL_FLASH")
-    if env is not None:
-        return env not in ("0", "false", "off")
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:  # pragma: no cover
-        return False
+    return env is not None and env not in ("0", "false", "off")
 
 
 def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:

@@ -36,7 +36,7 @@ from ..lang import ExpressionParser, ParsedExpression, get_parser
 from ..models.clip import tokenizer as tok
 from ..models.clip.fusion import calculate_score, hybrid_forward
 from ..models.clip.text import encode_text
-from ..models.gem.gem import gem_heatmap, gem_preprocess
+from ..models.gem.gem import gem_image_features, gem_preprocess
 from ..models.sam.amg import (
     Proposals,
     generate_proposals,
@@ -141,13 +141,25 @@ class HybridGLPipeline:
                 )
             ).astype(jnp.uint8)
             gem_img = gem_preprocess(gem_u8, cfg.gem.img_size)
-            return feats, gem_img
+            # GEM patch features are text-independent: compute once per
+            # image (the reference recomputes the full GEM forward per
+            # sentence, Hybridgl_main.py:200); the per-sentence cost drops
+            # to one [G^2, E] x [E] product.
+            gem_pf, _, gem_grid = gem_image_features(
+                clip_params["visual"], gem_img[None], clip_cfg, cfg.gem
+            )
+            gem_pf = gem_pf[0] / jnp.maximum(
+                jnp.linalg.norm(gem_pf[0], axis=-1, keepdims=True), 1e-6
+            )
+            return feats, gem_pf
+
+        gem_grid_static = cfg.gem.img_size // cfg.clip.patch_size
 
         def sentence_stage(
             clip_params,
             props: Proposals,
             feats,
-            gem_img,
+            gem_pf,
             h,
             w,
             toks_sentence,  # [77]
@@ -187,7 +199,9 @@ class HybridGLPipeline:
             # GEM heatmap for the noun phrase -> back to the original (h, w)
             # region of the canonical frame (reference resizes the 448-frame
             # map to the image size, Hybridgl_main.py:201)
-            heat448 = gem_heatmap(clip_params, gem_img, np_f[None], clip_cfg, cfg.gem)[0]
+            npf_n = np_f / jnp.maximum(jnp.linalg.norm(np_f), 1e-6)
+            rel = (gem_pf @ npf_n).reshape(gem_grid_static, gem_grid_static)
+            heat448 = resize_bilinear(rel, (cfg.gem.img_size, cfg.gem.img_size))
             heat = place_valid_region(heat448, heat448.shape, (C, C), (h, w))
             vm = valid_mask((C, C), (h, w))
             heat = normalize_heatmap(heat, vm, dir_flag)
@@ -282,7 +296,7 @@ class HybridGLPipeline:
         """Process one image; mutates ``state`` accumulators (host loop)."""
         props = self.propose(sample)
         with self._span("crops+fusion"):
-            feats, gem_img = self._feature_stage(
+            feats, gem_pf = self._feature_stage(
                 self.clip_params,
                 props,
                 jnp.asarray(sample.image_canonical),
@@ -330,7 +344,7 @@ class HybridGLPipeline:
                     self.clip_params,
                     props,
                     feats,
-                    gem_img,
+                    gem_pf,
                     sample.h,
                     sample.w,
                     jnp.asarray(toks_s),
