@@ -40,7 +40,17 @@ def main():
     sam_model = os.environ.get("BENCH_SAM", "vit_h")
     sentences_per_image = float(os.environ.get("BENCH_SENTENCES", "2"))
 
-    cfg = PipelineConfig(sam_model=sam_model, fusion_mode="G2L")
+    # With random weights nothing passes the reference's 0.7 quality
+    # thresholds, which would silently skip the scoring stages. Zeroed
+    # thresholds keep the full pipeline (NMS -> cleanup -> fusion ->
+    # sentence scoring) on the measured path with a realistic proposal load.
+    from hybridgl_tpu.core.config import AmgConfig
+
+    cfg = PipelineConfig(
+        sam_model=sam_model,
+        fusion_mode="G2L",
+        amg=AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0),
+    )
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     sam_params = init_sam(k1, cfg.sam)
     clip_params = init_clip(k2, cfg.clip)

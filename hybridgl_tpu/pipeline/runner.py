@@ -49,6 +49,9 @@ from .guidance import (
     rela_flag_id,
     select_candidates,
 )
+from .postprocess import (
+    postprocess_small_regions as postprocess_small_regions_host,
+)
 from .preprocess import build_crops
 
 
@@ -272,16 +275,48 @@ class HybridGLPipeline:
                 sample.w,
             )
         if self.cfg.amg.min_mask_region_area > 0:
-            from .postprocess import postprocess_small_regions
-
             with self._span("small_region_cleanup"):
-                props = postprocess_small_regions(
-                    props,
-                    self.cfg.amg.min_mask_region_area,
-                    max(self.cfg.amg.box_nms_thresh, self.cfg.amg.crop_nms_thresh),
-                )
-                props = Proposals(*(jnp.asarray(x) for x in props))
+                # scalar first: skip the mask transfer entirely when nothing
+                # survived NMS
+                if int(props.num) > 0:
+                    props = self._cleanup_host(props)
         return props
+
+    def _cleanup_host(self, props: Proposals) -> Proposals:
+        """Host small-region cleanup with bit-packed mask transfers:
+        [P, C, C] bool moves as packed uint8 (8x less host<->device
+        traffic — the dominant cost of this stage on tunneled TPUs)."""
+        C = self.cfg.canonical_size
+        packed = np.asarray(jnp.packbits(props.masks, axis=-1))
+        masks_np = np.unpackbits(packed, axis=-1, count=C).astype(bool)
+        host_props = Proposals(
+            masks=masks_np,
+            boxes_xyxy=np.asarray(props.boxes_xyxy),
+            iou_preds=np.asarray(props.iou_preds),
+            stability=np.asarray(props.stability),
+            points=np.asarray(props.points),
+            areas=np.asarray(props.areas),
+            valid=np.asarray(props.valid),
+            num=np.asarray(props.num),
+        )
+        out = postprocess_small_regions_host(
+            host_props,
+            self.cfg.amg.min_mask_region_area,
+            max(self.cfg.amg.box_nms_thresh, self.cfg.amg.crop_nms_thresh),
+        )
+        dev_masks = jnp.unpackbits(
+            jnp.asarray(np.packbits(out.masks, axis=-1)), axis=-1, count=C
+        ).astype(bool)
+        return Proposals(
+            masks=dev_masks,
+            boxes_xyxy=jnp.asarray(out.boxes_xyxy),
+            iou_preds=jnp.asarray(out.iou_preds),
+            stability=jnp.asarray(out.stability),
+            points=jnp.asarray(out.points),
+            areas=jnp.asarray(out.areas),
+            valid=jnp.asarray(out.valid),
+            num=jnp.asarray(out.num),
+        )
 
     def _span(self, name: str):
         import contextlib
