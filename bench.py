@@ -95,8 +95,8 @@ def main():
 
     samples = [make_sample(100 + i) for i in range(n_iter)]
     t0 = time.time()
-    for s in samples:
-        pipe.run_image(s, state)
+    for _ in pipe.run_dataset(iter(samples), state):
+        pass
     dt = time.time() - t0
     img_per_s = n_iter / dt
 

@@ -162,9 +162,10 @@ def main(argv=None) -> None:
     it = iter(IndexedPrefetcher(_Sliced(dataset, start, n)))
     trace_ctx = capture_trace(args.trace_dir or None)
     trace_ctx.__enter__()
-    for offset, sample in enumerate(it):
+    # run_dataset software-pipelines host cleanup with the next image's
+    # device proposal stage
+    for offset, (sample, results) in enumerate(pipe.run_dataset(it, state)):
         i = start + offset
-        results = pipe.run_image(sample, state)
         images_done += 1
         for r in results:
             parity.add(

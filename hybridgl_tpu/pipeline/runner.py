@@ -265,22 +265,8 @@ class HybridGLPipeline:
         (reference: automatic_mask_generator.py:166-171 applies it whenever
         min_mask_region_area > 0 — true for both driver configs)."""
         with self._span("proposals"):
-            props = self._proposal_stage(
-                self.sam_params,
-                jnp.asarray(sample.image_1024),
-                sample.rh,
-                sample.rw,
-                jnp.asarray(sample.image_canonical),
-                sample.h,
-                sample.w,
-            )
-        if self.cfg.amg.min_mask_region_area > 0:
-            with self._span("small_region_cleanup"):
-                # scalar first: skip the mask transfer entirely when nothing
-                # survived NMS
-                if int(props.num) > 0:
-                    props = self._cleanup_host(props)
-        return props
+            props = self._dispatch_proposals(sample)
+        return self._finish_props(props)
 
     def _cleanup_host(self, props: Proposals) -> Proposals:
         """Host small-region cleanup with bit-packed mask transfers:
@@ -325,11 +311,55 @@ class HybridGLPipeline:
             return contextlib.nullcontext()
         return self.timer.span(name)
 
+    def _dispatch_proposals(self, sample: ImageSample):
+        """Async-dispatch the proposal stage (device work starts now)."""
+        return self._proposal_stage(
+            self.sam_params,
+            jnp.asarray(sample.image_1024),
+            sample.rh,
+            sample.rw,
+            jnp.asarray(sample.image_canonical),
+            sample.h,
+            sample.w,
+        )
+
+    def _finish_props(self, props: Proposals) -> Proposals:
+        if self.cfg.amg.min_mask_region_area > 0:
+            with self._span("small_region_cleanup"):
+                if int(props.num) > 0:
+                    props = self._cleanup_host(props)
+        return props
+
+    def run_dataset(self, samples, state: PipelineState):
+        """Software-pipelined iteration: image i+1's proposal stage is
+        dispatched (device, async) before image i's host cleanup runs, so
+        the TPU never idles on connected-components/cv2 host work. Yields
+        (sample, results) pairs; mutates ``state``.
+        """
+        pending = None  # (sample, in-flight device proposals)
+        for sample in samples:
+            with self._span("proposals_dispatch"):
+                props_next = self._dispatch_proposals(sample)
+            if pending is not None:
+                prev_sample, prev_props = pending
+                yield prev_sample, self._score_image(
+                    prev_sample, self._finish_props(prev_props), state
+                )
+            pending = (sample, props_next)
+        if pending is not None:
+            sample, props = pending
+            yield sample, self._score_image(sample, self._finish_props(props), state)
+
     def run_image(
         self, sample: ImageSample, state: PipelineState
     ) -> List[SentenceResult]:
         """Process one image; mutates ``state`` accumulators (host loop)."""
         props = self.propose(sample)
+        return self._score_image(sample, props, state)
+
+    def _score_image(
+        self, sample: ImageSample, props: Proposals, state: PipelineState
+    ) -> List[SentenceResult]:
         with self._span("crops+fusion"):
             feats, gem_pf = self._feature_stage(
                 self.clip_params,
