@@ -164,9 +164,12 @@ def main(argv=None) -> None:
     trace_ctx.__enter__()
     # run_dataset software-pipelines host cleanup with the next image's
     # device proposal stage
+    from ..pipeline.runner import materialize_results
+
     for offset, (sample, results) in enumerate(pipe.run_dataset(it, state)):
         i = start + offset
         images_done += 1
+        results = materialize_results(results)
         for r in results:
             parity.add(
                 SelectionRecord(

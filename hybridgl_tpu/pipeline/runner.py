@@ -425,22 +425,43 @@ class HybridGLPipeline:
                     gt,
                 )
             if sample.gt_mask is not None:
+                # async device accumulation — reading state later forces the
+                # sync; never block per sentence (tunnel round-trips are the
+                # throughput killer)
                 state.pure = _accumulate(state.pure, pure_iu)
                 state.final = _accumulate(state.final, final_iu)
             results.append(
                 SentenceResult(
                     sentence,
-                    int(sel.pure_index),
-                    int(sel.final_index),
-                    float(pure_iu[2]),
-                    float(final_iu[2]),
+                    sel.pure_index,
+                    sel.final_index,
+                    pure_iu[2],
+                    final_iu[2],
                 )
             )
         return results
 
 
+def materialize_results(results: List[SentenceResult]) -> List[SentenceResult]:
+    """Force the (possibly device-resident) scalars of SentenceResults.
+
+    Call at reporting boundaries, not per sentence — reading a device
+    scalar synchronizes the stream.
+    """
+    return [
+        SentenceResult(
+            r.sentence,
+            int(r.pure_index),
+            int(r.final_index),
+            float(r.pure_iou),
+            float(r.final_iou),
+        )
+        for r in results
+    ]
+
+
 def _accumulate(acc: IoUAccum, iu) -> IoUAccum:
-    i, u, iou = (float(x) for x in iu)
+    i, u, iou = iu
     return IoUAccum(
         acc.cum_i + i, acc.cum_u + u, acc.sum_iou + iou, acc.count + 1.0
     )

@@ -90,7 +90,9 @@ def test_pipeline_runs_and_accumulates(pipeline):
     rng = np.random.default_rng(0)
     state = pipeline.init_state()
     sample = make_sample(rng, pipeline.cfg.sam)
-    results = pipeline.run_image(sample, state)
+    from hybridgl_tpu.pipeline.runner import materialize_results
+
+    results = materialize_results(pipeline.run_image(sample, state))
     assert len(results) == 2
     for r in results:
         assert 0.0 <= r.pure_iou <= 1.0

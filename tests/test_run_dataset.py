@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from hybridgl_tpu.pipeline.runner import HybridGLPipeline
+from hybridgl_tpu.pipeline.runner import HybridGLPipeline, materialize_results
 
 from test_pipeline_e2e import make_sample, pipeline  # noqa: F401  (fixture)
 
@@ -12,10 +12,10 @@ def test_run_dataset_matches_run_image(pipeline: HybridGLPipeline):
     samples = [make_sample(rng, pipeline.cfg.sam) for _ in range(3)]
 
     state_a = pipeline.init_state()
-    seq = [pipeline.run_image(s, state_a) for s in samples]
+    seq = [materialize_results(pipeline.run_image(s, state_a)) for s in samples]
 
     state_b = pipeline.init_state()
-    piped = [r for _, r in pipeline.run_dataset(iter(samples), state_b)]
+    piped = [materialize_results(r) for _, r in pipeline.run_dataset(iter(samples), state_b)]
 
     assert len(piped) == len(seq) == 3
     for a, b in zip(seq, piped):
