@@ -29,6 +29,24 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 CLIP_PIXEL_MEAN = (0.48145466, 0.4578275, 0.40821073)
 
 
+def reflect_fill(img: jax.Array, hw) -> jax.Array:
+    """Mirror the valid (h, w) region into the padding (reflect-101).
+
+    cv2.GaussianBlur reflects at the true image border; blurring the
+    zero-padded canonical frame directly would bleed black into background
+    pixels near the right/bottom edges. Mirroring the first rows/cols of
+    padding reproduces the cv2 border for any kernel radius < h, w.
+    """
+    H, W = img.shape[0], img.shape[1]
+    h = jnp.asarray(hw[0], jnp.int32)
+    w = jnp.asarray(hw[1], jnp.int32)
+    i = jnp.arange(H)
+    j = jnp.arange(W)
+    ri = jnp.clip(jnp.where(i < h, i, 2 * h - 2 - i), 0, h - 1)
+    rj = jnp.clip(jnp.where(j < w, j, 2 * w - 2 - j), 0, w - 1)
+    return img[ri][:, rj]
+
+
 def build_crops(
     image_u8: jax.Array,  # [C, C, 3] canonical frame, uint8
     masks: jax.Array,  # [P, C, C] bool
@@ -38,7 +56,7 @@ def build_crops(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (global_imgs, local_imgs), each [P, crop, crop, 3] float32."""
     img = image_u8.astype(jnp.float32)
-    blurred = gaussian_blur(img, blur_ksize)  # float, cv2-equivalent
+    blurred = gaussian_blur(reflect_fill(img, hw), blur_ksize)  # cv2-equivalent
 
     imagenet_mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
     imagenet_std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
