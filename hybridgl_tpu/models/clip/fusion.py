@@ -32,8 +32,9 @@ import jax.numpy as jnp
 
 from ...core.config import ClipConfig, CompatConfig
 from ...kernels.resize import resize_bilinear
-from .layers import allowed_mask_to_bias, layer_norm
+from .layers import allowed_mask_to_bias
 from .vit import vit_block, vit_head, vit_stem
+
 
 def last_layer_index(cfg: ClipConfig) -> int:
     """The reference's ``last_layer`` (10 for the 12-block ViT-B,

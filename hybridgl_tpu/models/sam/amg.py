@@ -351,8 +351,6 @@ def generate_proposals_multicrop(
         scale = S / long_side
         crh = jnp.floor(ch_ * scale + 0.5).astype(jnp.int32)
         crw = jnp.floor(cw_ * scale + 0.5).astype(jnp.int32)
-        from ...kernels.resize import sample_region
-
         # cut the crop from the canonical frame and long-side-resize it into
         # the (crh, crw) corner of a zero-padded SxS frame (the reference's
         # longest-side resize + pad, transforms.py:26-31 + sam.py:164-174)

@@ -21,7 +21,6 @@ jax.make_mesh handles device order; the batch loader shards by process.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
