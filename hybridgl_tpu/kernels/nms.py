@@ -33,8 +33,14 @@ def nms(
     scores: jax.Array,
     iou_threshold: float,
     valid: jax.Array | None = None,
+    unroll: int = 8,
 ) -> NmsResult:
-    """boxes: [N, 4] XYXY; scores: [N]; valid: [N] bool (padding mask)."""
+    """boxes: [N, 4] XYXY; scores: [N]; valid: [N] bool (padding mask).
+
+    The greedy sweep is inherently sequential in the candidate order;
+    ``unroll`` trades compiled code size for fewer While-loop iterations
+    (device While steps carry scheduling overhead).
+    """
     N = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((N,), bool)
@@ -42,13 +48,33 @@ def nms(
     order = jnp.argsort(-s)
     b = boxes[order]
     iou = box_iou_matrix(b, b)
+    # CRITICAL: materialize the IoU matrix before the sequential sweep.
+    # Without the barrier XLA fuses the whole upstream producer chain
+    # (boxes come from [P, H, W] mask reductions) into the While body and
+    # recomputes it every iteration — measured 0.4ms -> 210ms on the full
+    # AMG program.
+    iou, order = jax.lax.optimization_barrier((iou, order))
     idx = jnp.arange(N)
 
-    def body(i, suppressed):
+    def step(i, suppressed):
         row = (iou[i] > iou_threshold) & (idx > i) & jnp.logical_not(suppressed[i])
         return suppressed | row
 
-    suppressed = jax.lax.fori_loop(0, N, body, jnp.zeros((N,), bool))
+    suppressed = jnp.zeros((N,), bool)
+    if unroll >= N:
+        for i in range(N):
+            suppressed = step(i, suppressed)
+    else:
+        k = max(1, unroll)
+        n_outer = (N + k - 1) // k
+
+        def body(o, sup):
+            for j in range(k):
+                i = o * k + j
+                sup = jax.lax.cond(i < N, lambda s: step(i, s), lambda s: s, sup)
+            return sup
+
+        suppressed = jax.lax.fori_loop(0, n_outer, body, suppressed)
     keep_sorted = ~suppressed & valid[order]
     return NmsResult(order, keep_sorted, keep_sorted.sum().astype(jnp.int32))
 

@@ -357,9 +357,27 @@ class HybridGLPipeline:
         props = self.propose(sample)
         return self._score_image(sample, props, state)
 
+    def _bucket_props(self, props: Proposals, num_props: int) -> Proposals:
+        """Slice the proposal bundle to the smallest power-of-two bucket
+        >= num_props (min 8). NMS ordering puts valid proposals first, so a
+        prefix slice keeps exactly the live ones; indices into the bucketed
+        arrays equal indices into the full bundle. Each bucket size is its
+        own cached jit specialisation; the fusion stage's cost scales with
+        the bucket instead of the worst-case P."""
+        P = int(props.masks.shape[0])
+        bucket = 8
+        while bucket < num_props:
+            bucket *= 2
+        bucket = min(bucket, P)
+        if bucket == P:
+            return props
+        return Proposals(*(x[:bucket] for x in props[:-1]), props.num)
+
     def _score_image(
         self, sample: ImageSample, props: Proposals, state: PipelineState
     ) -> List[SentenceResult]:
+        num_pre = int(props.num)
+        props = self._bucket_props(props, num_pre)
         with self._span("crops+fusion"):
             feats, gem_pf = self._feature_stage(
                 self.clip_params,
@@ -368,7 +386,7 @@ class HybridGLPipeline:
                 sample.h,
                 sample.w,
             )
-        num_props = int(props.num)
+        num_props = num_pre
         if num_props == 0:
             # no proposals survived: count a miss per sentence (the reference
             # would crash on torch.stack([]); we record IoU 0 to keep long
