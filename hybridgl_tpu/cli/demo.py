@@ -46,12 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    cfg = PipelineConfig(
-        clip_model=args.clip_model,
-        sam_model=args.sam_model,
-        fusion_mode=args.fusion_mode,
-        amg=AmgConfig(points_per_side=args.points_per_side),
-    )
+    if "test-tiny" in (args.clip_model, args.sam_model):
+        from ..core.config import tiny_smoke_config
+
+        cfg = tiny_smoke_config(fusion_mode=args.fusion_mode)
+    else:
+        cfg = PipelineConfig(
+            clip_model=args.clip_model,
+            sam_model=args.sam_model,
+            fusion_mode=args.fusion_mode,
+            amg=AmgConfig(points_per_side=args.points_per_side),
+        )
     sam_params, clip_params = load_params(args, cfg)
     pipe = HybridGLPipeline(cfg, sam_params, clip_params)
 

@@ -104,6 +104,13 @@ def build_config(args) -> PipelineConfig:
         amg=amg,
         canonical_size=1024 if dataset == "phrasecut" else 640,
     )
+    if args.clip_model == "test-tiny" or args.sam_model == "test-tiny":
+        from ..core.config import tiny_smoke_config
+
+        cfg = tiny_smoke_config(
+            fusion_mode=args.fusion_mode,
+            min_mask_region_area=amg.min_mask_region_area,
+        )
     if args.no_bug_compat:
         from ..core.config import CompatConfig
 

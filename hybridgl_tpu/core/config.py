@@ -62,6 +62,20 @@ def clip_preset(name: str) -> ClipConfig:
     presets = {
         "ViT-B/16": ClipConfig(),
         "ViT-B/32": ClipConfig(patch_size=32),
+        # miniature model for CI / smoke runs (not a real checkpoint shape)
+        "test-tiny": ClipConfig(
+            image_size=32,
+            patch_size=8,
+            vision_width=64,
+            vision_layers=3,
+            vision_heads=4,
+            context_length=16,
+            vocab_size=101,
+            text_width=32,
+            text_heads=2,
+            text_layers=2,
+            embed_dim=24,
+        ),
         "ViT-L/14": ClipConfig(
             patch_size=14,
             vision_width=1024,
@@ -137,6 +151,20 @@ def sam_preset(name: str) -> SamConfig:
         ),
     }
     presets["default"] = presets["vit_h"]
+    # miniature model for CI / smoke runs (not a real checkpoint shape)
+    presets["test-tiny"] = SamConfig(
+        img_size=64,
+        encoder_width=32,
+        encoder_depth=4,
+        encoder_heads=2,
+        encoder_global_idx=(1, 3),
+        window_size=3,
+        prompt_dim=16,
+        decoder_heads=2,
+        decoder_mlp_dim=32,
+        iou_head_hidden=16,
+        mask_in_chans=8,
+    )
     if name not in presets:
         raise ValueError(f"unknown SAM preset {name!r}; have {sorted(presets)}")
     return presets[name]
@@ -306,3 +334,27 @@ class PipelineConfig:
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
+
+
+def tiny_smoke_config(
+    fusion_mode: str = "G2L", min_mask_region_area: int = 0
+) -> PipelineConfig:
+    """Miniature pipeline (test-tiny models, 64px frames) for CI / CPU
+    smoke runs of the full driver path."""
+    return PipelineConfig(
+        clip_model="test-tiny",
+        sam_model="test-tiny",
+        fusion_mode=fusion_mode,
+        canonical_size=64,
+        crop_size=clip_preset("test-tiny").image_size,
+        amg=AmgConfig(
+            points_per_side=4,
+            points_per_batch=8,
+            pred_iou_thresh=0.0,
+            stability_score_thresh=0.0,
+            min_mask_region_area=min_mask_region_area,
+            max_proposals=8,
+        ),
+        gem=GemConfig(img_size=64, depth=2),
+        guidance=GuidanceConfig(masking_block=1),
+    )

@@ -254,21 +254,9 @@ def torch_hybrid_forward(model, local, glob, masks, mode, masking_block=None, la
 
 
 def tiny_clip_config():
-    from hybridgl_tpu.core.config import ClipConfig
+    from hybridgl_tpu.core.config import clip_preset
 
-    return ClipConfig(
-        image_size=32,
-        patch_size=8,
-        vision_width=64,
-        vision_layers=3,
-        vision_heads=4,
-        context_length=16,
-        vocab_size=101,
-        text_width=32,
-        text_heads=2,
-        text_layers=2,
-        embed_dim=24,
-    )
+    return clip_preset("test-tiny")
 
 
 def make_tiny_clip(seed=0):

@@ -9,22 +9,10 @@ import torch.nn.functional as F
 
 
 def tiny_sam_config():
-    from hybridgl_tpu.core.config import SamConfig
+    from hybridgl_tpu.core.config import sam_preset
 
-    return SamConfig(
-        img_size=64,
-        patch_size=16,
-        encoder_width=32,
-        encoder_depth=4,
-        encoder_heads=2,
-        encoder_global_idx=(1, 3),
-        window_size=3,  # grid 4 -> pads to 6 -> exercises window padding
-        prompt_dim=16,
-        decoder_heads=2,
-        decoder_mlp_dim=32,
-        iou_head_hidden=16,
-        mask_in_chans=8,
-    )
+    # window 3 on a grid of 4 -> pads to 6 -> exercises window padding
+    return sam_preset("test-tiny")
 
 
 class LayerNorm2d(nn.Module):
