@@ -44,6 +44,16 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices[:n]), (axis,))
 
 
+def make_mesh_2d(n_devices: int | None = None, mp: int = 2) -> Mesh:
+    """(dp, mp) mesh: images shard over dp; within an mp group the fusion
+    stage shards the proposal axis (model-space parallelism for per-image
+    latency). mp groups should map to ICI neighbours."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n % mp == 0, (n, mp)
+    return Mesh(np.array(devices[:n]).reshape(n // mp, mp), ("dp", "mp"))
+
+
 class EvalBatch(NamedTuple):
     """Stacked per-image arrays, leading axis = global batch (sharded on dp)."""
 
@@ -58,8 +68,21 @@ class EvalBatch(NamedTuple):
     tokens_np: jax.Array  # [B, L]
 
 
-def _single_image_step(sam_params, clip_params, sample: EvalBatch, cfg: PipelineConfig):
-    """Full pipeline for ONE image (leading axes already squeezed)."""
+def _single_image_step(
+    sam_params,
+    clip_params,
+    sample: EvalBatch,
+    cfg: PipelineConfig,
+    mp_axis: str | None = None,
+):
+    """Full pipeline for ONE image (leading axes already squeezed).
+
+    With ``mp_axis``, the fusion stage shards the proposal axis across the
+    mp group: each member runs hybrid fusion on P/mp proposals and an
+    all_gather reassembles the [P, E] features (the only mp collective —
+    a few KB over ICI). Proposal generation is replicated within the group
+    (the encoder is one image; sharding it is a different axis).
+    """
     sam_cfg, clip_cfg = cfg.sam, cfg.clip
     C = cfg.canonical_size
     props = generate_proposals(
@@ -73,20 +96,29 @@ def _single_image_step(sam_params, clip_params, sample: EvalBatch, cfg: Pipeline
         cfg.amg,
         C,
     )
+    masks = props.masks
+    if mp_axis is not None:
+        mp = jax.lax.axis_size(mp_axis)
+        idx = jax.lax.axis_index(mp_axis)
+        P = masks.shape[0]
+        shard = P // mp
+        masks = jax.lax.dynamic_slice_in_dim(masks, idx * shard, shard, axis=0)
     glob, local = build_crops(
-        sample.image_canonical, props.masks, (sample.h, sample.w), cfg.crop_size
+        sample.image_canonical, masks, (sample.h, sample.w), cfg.crop_size
     )
     feats = hybrid_forward(
         clip_params["visual"],
         local,
         glob,
-        props.masks.astype(jnp.float32),
+        masks.astype(jnp.float32),
         clip_cfg,
         fusion_mode=cfg.fusion_mode,
         masking_block=cfg.guidance.masking_block,
         compat=cfg.compat,
         masks_hw=(sample.h, sample.w),
     )
+    if mp_axis is not None:
+        feats = jax.lax.all_gather(feats, mp_axis, axis=0, tiled=True)
     tf = encode_text(
         clip_params["text"],
         jnp.stack([sample.tokens_sentence, sample.tokens_np]),
@@ -110,19 +142,27 @@ def _single_image_step(sam_params, clip_params, sample: EvalBatch, cfg: Pipeline
     return IoUAccum(i, u, iou, jnp.asarray(1.0)), sel.pure_index
 
 
-def build_sharded_eval_step(cfg: PipelineConfig, mesh: Mesh, axis: str = "dp"):
+def build_sharded_eval_step(
+    cfg: PipelineConfig, mesh: Mesh, axis: str = "dp", mp_axis: str | None = None
+):
     """Returns jitted ``step(sam_params, clip_params, batch) ->
     (global IoUAccum, per-image selections)``.
 
-    Batch axis is sharded over ``axis``; params are replicated; the psum of
-    the accumulator is the only collective.
+    Batch axis is sharded over ``axis``; params are replicated. With a 2D
+    (dp, mp) mesh pass ``mp_axis='mp'``: the batch shards over dp only and
+    each mp group cooperatively computes its images' fusion stage
+    (proposal-axis sharding + all_gather). Collectives: one all_gather of
+    [P, E] per image over mp, one psum of four scalars over dp — both
+    ICI-cheap.
     """
 
     def per_device(sam_params, clip_params, batch: EvalBatch):
         # local shard: [b_local, ...] -> scan images sequentially per device
         def body(carry, sample):
             acc = carry
-            upd, sel = _single_image_step(sam_params, clip_params, sample, cfg)
+            upd, sel = _single_image_step(
+                sam_params, clip_params, sample, cfg, mp_axis=mp_axis
+            )
             acc = IoUAccum(*(a + b for a, b in zip(acc, upd)))
             return acc, sel
 

@@ -12,6 +12,7 @@ from hybridgl_tpu.parallel.mesh import (
     EvalBatch,
     build_sharded_eval_step,
     make_mesh,
+    make_mesh_2d,
     shard_batch,
 )
 
@@ -104,3 +105,28 @@ def test_sharded_matches_single_device(tiny_cfg):
     np.testing.assert_allclose(float(acc8.cum_u), float(acc1.cum_u), rtol=1e-5)
     np.testing.assert_allclose(float(acc8.sum_iou), float(acc1.sum_iou), rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(sels8), np.asarray(sels1))
+
+
+def test_2d_mesh_dp_mp_matches_1d(tiny_cfg):
+    """(dp, mp) proposal-axis sharding must reproduce the 1D dp result."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    sam_params = init_sam(k1, tiny_cfg.sam)
+    clip_params = init_clip(k2, tiny_cfg.clip)
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, tiny_cfg, 4)
+
+    mesh1 = make_mesh(4)
+    step1 = build_sharded_eval_step(tiny_cfg, mesh1)
+    acc1, sels1 = step1(sam_params, clip_params, shard_batch(batch, mesh1))
+
+    mesh2 = make_mesh_2d(8, mp=2)  # dp=4 x mp=2
+    step2 = build_sharded_eval_step(tiny_cfg, mesh2, mp_axis="mp")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh2, P("dp"))
+    batch2 = EvalBatch(*(jax.device_put(np.asarray(x), sharding) for x in batch))
+    acc2, sels2 = step2(sam_params, clip_params, batch2)
+
+    np.testing.assert_allclose(float(acc2.cum_i), float(acc1.cum_i), rtol=1e-5)
+    np.testing.assert_allclose(float(acc2.cum_u), float(acc1.cum_u), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sels2), np.asarray(sels1))
