@@ -40,7 +40,7 @@ def encode_text(
     defined but unused by the shipped drivers — provided for API parity).
     """
     dt = p["token_embedding"].dtype
-    x = p["token_embedding"][tokens].astype(dt)  # [N, 77, D]
+    x = jnp.asarray(p["token_embedding"])[tokens].astype(dt)  # [N, 77, D]
     x = x + p["positional_embedding"].astype(dt)
     bias = causal_bias(cfg.context_length)
     for i, blk in enumerate(p["blocks"]):

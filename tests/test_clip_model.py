@@ -69,3 +69,29 @@ def test_noun_index_pooling(clip_pair):
     b = np.asarray(encode_text(params["text"], jnp.asarray(toks, jnp.int32), cfg))
     # pooling at a different token must give different features
     assert not np.allclose(a, b)
+
+
+def test_text_masking_feature(clip_pair):
+    """Token-masked text encoding (reference backbone.py:34-56: zero the
+    masked token rows from masking_block on)."""
+    model, cfg, params = clip_pair
+    toks = np.zeros((1, cfg.context_length), np.int64)
+    toks[0, 0] = cfg.vocab_size - 2
+    toks[0, 1:6] = [5, 6, 7, 8, 9]
+    toks[0, 6] = cfg.vocab_size - 1
+    t = jnp.asarray(toks, jnp.int32)
+    base = np.asarray(encode_text(params["text"], t, cfg))
+    masked = np.asarray(
+        encode_text(
+            params["text"], t, cfg, masking_index=[2, 3], masking_block=0
+        )
+    )
+    assert not np.allclose(base, masked)
+    # masking after the last block is a no-op
+    untouched = np.asarray(
+        encode_text(
+            params["text"], t, cfg, masking_index=[2, 3],
+            masking_block=cfg.text_layers + 1,
+        )
+    )
+    np.testing.assert_allclose(base, untouched, atol=1e-6)
