@@ -1,0 +1,93 @@
+"""Full-parity multi-chip eval step vs the sequential pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hybridgl_tpu.lang import HeuristicParser
+from hybridgl_tpu.parallel.full_eval import (
+    FullEvalBatch,
+    build_full_eval_step,
+    place_batch,
+    prepare_records,
+)
+from hybridgl_tpu.parallel.mesh import make_mesh, make_mesh_2d
+from hybridgl_tpu.pipeline.runner import HybridGLPipeline, materialize_results
+
+from test_pipeline_e2e import FakeTokenizer, make_sample, pipeline  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def cfg_no_cleanup(pipeline):
+    # the sharded step skips host cleanup; compare against a sequential run
+    # with the same semantics (min_mask_region_area=0, non-sticky clamps)
+    import dataclasses
+
+    from hybridgl_tpu.core.config import CompatConfig
+
+    cfg = pipeline.cfg.replace(
+        amg=dataclasses.replace(pipeline.cfg.amg, min_mask_region_area=0),
+        compat=CompatConfig(k_clamp_sticky=False),
+    )
+    return cfg
+
+
+def test_full_eval_matches_sequential(pipeline, cfg_no_cleanup):
+    cfg = cfg_no_cleanup
+    parser = HeuristicParser()
+    tokenizer = FakeTokenizer()
+    seq_pipe = HybridGLPipeline(
+        cfg, pipeline.sam_params, pipeline.clip_params,
+        parser=parser, tokenizer=tokenizer,
+    )
+    rng = np.random.default_rng(11)
+    samples = [make_sample(rng, cfg.sam) for _ in range(4)]
+
+    # sequential reference
+    state = seq_pipe.init_state()
+    seq_results = [
+        materialize_results(seq_pipe.run_image(s, state)) for s in samples
+    ]
+
+    # sharded full eval (4-way dp)
+    batch = prepare_records(samples, parser, cfg, tokenizer=tokenizer, max_sentences=2)
+    mesh = make_mesh(4)
+    step = build_full_eval_step(cfg, mesh)
+    pa, fa, pidx, fidx = step(
+        seq_pipe.sam_params, seq_pipe.clip_params, place_batch(batch, mesh)
+    )
+
+    assert int(pa.count) == int(state.pure.count)
+    np.testing.assert_allclose(float(pa.cum_i), float(state.pure.cum_i), rtol=1e-5)
+    np.testing.assert_allclose(float(fa.cum_i), float(state.final.cum_i), rtol=1e-5)
+    np.testing.assert_allclose(float(fa.sum_iou), float(state.final.sum_iou), rtol=1e-4)
+
+    pidx = np.asarray(pidx)
+    fidx = np.asarray(fidx)
+    for b, results in enumerate(seq_results):
+        for si, r in enumerate(results):
+            assert pidx[b, si] == r.pure_index
+            assert fidx[b, si] == r.final_index
+
+
+def test_full_eval_2d_mesh(pipeline, cfg_no_cleanup):
+    cfg = cfg_no_cleanup
+    parser = HeuristicParser()
+    rng = np.random.default_rng(12)
+    samples = [make_sample(rng, cfg.sam) for _ in range(4)]
+    batch = prepare_records(samples, parser, cfg, tokenizer=FakeTokenizer(), max_sentences=2)
+
+    mesh1 = make_mesh(4)
+    step1 = build_full_eval_step(cfg, mesh1)
+    pa1, fa1, pi1, fi1 = step1(
+        pipeline.sam_params, pipeline.clip_params, place_batch(batch, mesh1)
+    )
+
+    mesh2 = make_mesh_2d(8, mp=2)
+    step2 = build_full_eval_step(cfg, mesh2, mp_axis="mp")
+    pa2, fa2, pi2, fi2 = step2(
+        pipeline.sam_params, pipeline.clip_params, place_batch(batch, mesh2)
+    )
+    np.testing.assert_allclose(float(pa2.cum_i), float(pa1.cum_i), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fi2), np.asarray(fi1))
