@@ -61,6 +61,13 @@ def default_argument_parser(epilog=None) -> argparse.ArgumentParser:
     p.add_argument("--no-bug-compat", action="store_true", help="disable reference quirk reproduction")
     p.add_argument("--profile", action="store_true", help="print a per-stage time summary")
     p.add_argument("--trace_dir", default="", help="capture a jax profiler trace here")
+    p.add_argument(
+        "--data_parallel",
+        action="store_true",
+        help="shard the eval over all local devices (full pipeline per image, "
+        "psum'd metrics; uses the non-sticky k1/k2 clamp and skips the "
+        "small-region cleanup — see parallel/full_eval.py)",
+    )
     return p
 
 
@@ -169,6 +176,13 @@ def main(argv=None) -> None:
     it = iter(IndexedPrefetcher(_Sliced(dataset, start, n)))
     trace_ctx = capture_trace(args.trace_dir or None)
     trace_ctx.__enter__()
+
+    if args.data_parallel:
+        _run_data_parallel(args, cfg, pipe, it, ref_ids, start, n, state, parity, t0)
+        trace_ctx.__exit__(None, None, None)
+        _finish(args, cfg, state, parity, t0, n)
+        return
+
     # run_dataset software-pipelines host cleanup with the next image's
     # device proposal stage
     from ..pipeline.runner import materialize_results
@@ -197,6 +211,10 @@ def main(argv=None) -> None:
     trace_ctx.__exit__(None, None, None)
     if args.profile and pipe.timer is not None:
         print(pipe.timer.summary())
+    _finish(args, cfg, state, parity, t0, images_done)
+
+
+def _finish(args, cfg, state, parity, t0, images_done):
     write_result_log(
         args.log_dir, args.dataset, args.split, args.splitBy, args.fusion_mode,
         state.pure, state.final,
@@ -205,6 +223,58 @@ def main(argv=None) -> None:
         parity.save(args.parity_log)
     dt = time.time() - t0
     print(f"done: {images_done} images in {dt:.1f}s ({images_done / max(dt, 1e-9):.2f} img/s)")
+
+
+def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, parity, t0):
+    """Sharded eval over all local devices (parallel/full_eval.py)."""
+    import itertools
+
+    import jax
+    import numpy as np
+
+    from ..eval.metrics import IoUAccum
+    from ..parallel.full_eval import (
+        build_full_eval_step,
+        place_batch,
+        prepare_records,
+    )
+    from ..parallel.mesh import make_mesh
+
+    D = len(jax.devices())
+    mesh = make_mesh(D)
+    step = build_full_eval_step(cfg, mesh)
+    done = 0
+    idx = start
+    it = iter(sample_iter)
+    while True:
+        chunk = list(itertools.islice(it, D))
+        if not chunk:
+            break
+        real = len(chunk)
+        while len(chunk) < D:  # pad the tail chunk with inert copies
+            chunk.append(chunk[-1]._replace(sentences=[]))
+        batch = prepare_records(
+            chunk, pipe.parser, cfg, tokenizer=pipe.tokenizer
+        )
+        pa, fa, pidx, fidx = step(
+            pipe.sam_params, pipe.clip_params, place_batch(batch, mesh)
+        )
+        state.pure = IoUAccum(*(a + float(b) for a, b in zip(state.pure, pa)))
+        state.final = IoUAccum(*(a + float(b) for a, b in zip(state.final, fa)))
+        pidx = np.asarray(pidx)
+        fidx = np.asarray(fidx)
+        for b in range(real):
+            for si, sentence in enumerate(list(chunk[b].sentences)[: pidx.shape[1]]):
+                parity.add(
+                    SelectionRecord(
+                        int(ref_ids[idx + b]), sentence,
+                        int(pidx[b, si]), int(fidx[b, si]), 0.0, 0.0,
+                    )
+                )
+        idx += real
+        done += real
+        rate = done / max(time.time() - t0, 1e-9)
+        print(f"[dp {D}x] {idx}/{n} {rate:.2f} img/s", flush=True)
 
 
 class _Sliced:

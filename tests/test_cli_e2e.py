@@ -66,3 +66,23 @@ def test_cli_demo_end_to_end(tmp_path, monkeypatch):
         ]
     )
     assert os.path.exists(out)
+
+
+def test_cli_data_parallel(refer_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    log_dir = str(tmp_path / "logs_dp")
+    cli_main(
+        [
+            "--dataset", "refcoco",
+            "--split", "val",
+            "--refer_data_root", refer_root,
+            "--clip_model", "test-tiny",
+            "--sam_model", "test-tiny",
+            "--random-weights",
+            "--log_dir", log_dir,
+            "--data_parallel",
+        ]
+    )
+    log_path = os.path.join(log_dir, "result_log_refcoco_val.txt")
+    assert os.path.exists(log_path)
+    assert "pure hybridgl:" in open(log_path).read()
