@@ -73,11 +73,12 @@ def use_flash_attention() -> bool:
     $HYBRIDGL_FLASH=1.
 
     Default is OFF: on v5e the XLA-fused bf16 attention currently wins
-    end-to-end (measured 2.47 vs 1.01 img/s with the pallas path on the
-    full pipeline) — the [S, S] score tensor of a 4096-token block fits
-    HBM comfortably and XLA's fusion+pipelining beats this kernel's
-    current tiling. The kernel stays available (and tested) as the basis
-    for future tuning / longer-sequence models.
+    end-to-end for the 4096-token blocks (full-pipeline bench: 1.33 img/s
+    unfused vs 1.25 with the kernel at block_q=256/block_k=512, 1.01 at
+    512/512) — the [S, S] score tensor fits HBM comfortably and XLA's
+    fusion+pipelining beats the kernel's tiling at this length. The kernel
+    stays available (and tested) as the basis for longer-sequence models
+    and further tile tuning.
     """
     env = os.environ.get("HYBRIDGL_FLASH")
     return env is not None and env not in ("0", "false", "off")
