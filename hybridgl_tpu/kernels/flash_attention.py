@@ -93,11 +93,13 @@ def flash_attention_rel_pos(
     assert S == G * G, (S, G)
     assert block_k % G == 0, "k tile must cover whole grid rows"
     rows_per_ktile = block_k // G
-    # the transposed rel_h tile is [rows_per_ktile, TQ]: the sublane dim
-    # needs >= 8 rows (TPU (8,128) tiling) unless it spans the full G
-    assert rows_per_ktile >= 8 or rows_per_ktile == G, (
-        f"block_k={block_k} too small for grid_side={G}: need block_k >= 8*G"
-    )
+    # the transposed rel_h tile is [rows_per_ktile, TQ]: on real TPUs the
+    # sublane dim needs >= 8 rows ((8,128) tiling) unless it spans the full
+    # G; interpret mode (tests with tiny grids) has no such constraint
+    if not interpret:
+        assert rows_per_ktile >= 8 or rows_per_ktile == G, (
+            f"block_k={block_k} too small for grid_side={G}: need block_k >= 8*G"
+        )
     assert S % block_q == 0 and S % block_k == 0
     nq = S // block_q
     nk = S // block_k
