@@ -35,6 +35,8 @@ def main():
     from hybridgl_tpu.lang import HeuristicParser
     from hybridgl_tpu.pipeline.runner import HybridGLPipeline, ImageSample
 
+    # one proposal-bucket specialisation keeps warmup compile bounded
+    os.environ.setdefault("HYBRIDGL_NO_BUCKETING", "1")
     n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
     n_iter = int(os.environ.get("BENCH_ITERS", "8"))
     sam_model = os.environ.get("BENCH_SAM", "vit_h")

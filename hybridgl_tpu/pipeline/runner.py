@@ -364,7 +364,11 @@ class HybridGLPipeline:
         arrays equal indices into the full bundle. Each bucket size is its
         own cached jit specialisation; the fusion stage's cost scales with
         the bucket instead of the worst-case P."""
+        import os
+
         P = int(props.masks.shape[0])
+        if os.environ.get("HYBRIDGL_NO_BUCKETING"):
+            return props  # single jit specialisation (benchmarks/CI)
         bucket = 8
         while bucket < num_props:
             bucket *= 2
