@@ -115,3 +115,49 @@ def test_pipeline_sticky_k_clamp(pipeline):
     k1_after = state.k1
     pipeline.run_image(make_sample(np.random.default_rng(2), pipeline.cfg.sam), state)
     assert state.k1 <= k1_after
+
+
+def test_pipeline_multicrop_config():
+    """Runner end-to-end through the multi-crop AMG path (PhraseCut-style)."""
+    import jax
+    from hybridgl_tpu.core.config import AmgConfig, GemConfig, PipelineConfig
+    from hybridgl_tpu.core.params import init_clip, init_sam
+
+    clip_cfg = tiny_clip_config()
+    sam_cfg = tiny_sam_config()
+    cfg = PipelineConfig(
+        clip_config=clip_cfg,
+        sam_config=sam_cfg,
+        fusion_mode="L2G",
+        canonical_size=32,
+        crop_size=clip_cfg.image_size,
+        amg=AmgConfig(
+            points_per_side=4,
+            points_per_batch=8,
+            pred_iou_thresh=0.0,
+            stability_score_thresh=0.0,
+            crop_n_layers=1,
+            crop_n_points_downscale_factor=2,
+            min_mask_region_area=0,
+            max_proposals=8,
+            max_candidates_per_crop=8,
+        ),
+        gem=GemConfig(img_size=32, depth=2),
+    ).replace(
+        guidance=PipelineConfig().guidance.__class__(
+            masking_block=clip_cfg.vision_layers - 2
+        )
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    pipe = HybridGLPipeline(
+        cfg,
+        init_sam(keys[1], sam_cfg),
+        init_clip(keys[0], clip_cfg),
+        parser=HeuristicParser(),
+        tokenizer=FakeTokenizer(),
+    )
+    rng = np.random.default_rng(9)
+    state = pipe.init_state()
+    results = pipe.run_image(make_sample(rng, sam_cfg), state)
+    assert len(results) == 2
+    assert int(state.final.count) == 2
