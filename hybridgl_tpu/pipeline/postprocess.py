@@ -91,14 +91,30 @@ def postprocess_small_regions(
 
     new_masks = masks.copy()
     changed_flags = np.zeros(len(masks), bool)
+    H, W = masks.shape[-2:]
     for i in range(n):
         if not valid[i]:
             continue
         m = masks[i]
-        m2, ch1 = remove_small_regions(m, min_area, "holes")
-        m2, ch2 = remove_small_regions(m2, min_area, "islands")
+        # Connected components only need the mask's bounding box plus a
+        # 1-px background ring: every enclosed background region (hole)
+        # lies inside the bbox, every island is a mask pixel (inside the
+        # bbox by definition), and any background region touching the bbox
+        # edge connects to the ring exactly like it connects to the global
+        # background. Identical classification, ~10x fewer pixels.
+        x0, y0, x1, y1 = boxes[i].astype(np.int64)
+        y0 = max(int(y0) - 1, 0)
+        x0 = max(int(x0) - 1, 0)
+        y1 = min(int(y1) + 2, H)
+        x1 = min(int(x1) + 2, W)
+        crop = m[y0:y1, x0:x1]
+        c2, ch1 = remove_small_regions(crop, min_area, "holes")
+        c2, ch2 = remove_small_regions(c2, min_area, "islands")
         changed = ch1 or ch2
-        new_masks[i] = m2
+        if changed:
+            m2 = m.copy()
+            m2[y0:y1, x0:x1] = c2
+            new_masks[i] = m2
         changed_flags[i] = changed
 
     idx = [i for i in range(n) if valid[i]]

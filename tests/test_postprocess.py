@@ -88,3 +88,44 @@ def test_postprocess_noop_when_disabled():
     props = _make_props([m])
     out = postprocess_small_regions(props, min_area=0, nms_thresh=0.7)
     assert out is props
+
+
+def test_bbox_cropped_cleanup_matches_full_frame(rng):
+    """The bbox+ring CC optimisation must match full-frame processing."""
+    from hybridgl_tpu.pipeline.postprocess import remove_small_regions
+
+    H = W = 80
+    masks = []
+    # U-shaped mask with a cavity opening downward past the bbox
+    m = np.zeros((H, W), bool)
+    m[10:40, 10:15] = True
+    m[10:40, 35:40] = True
+    m[10:15, 10:40] = True
+    masks.append(m)
+    # mask touching the image edge with an edge-adjacent pocket
+    m = np.zeros((H, W), bool)
+    m[60:80, 0:30] = True
+    m[70:80, 10:14] = False  # pocket open to the bottom edge
+    masks.append(m)
+    # mask with a true hole + small island
+    m = np.zeros((H, W), bool)
+    m[20:50, 20:50] = True
+    m[30:33, 30:33] = False  # 9px hole
+    m[5:7, 5:7] = True  # 4px island
+    masks.append(m)
+    # random speckle
+    m = np.zeros((H, W), bool)
+    m[15:65, 15:65] = rng.random((50, 50)) > 0.4
+    masks.append(m)
+
+    props = _make_props(masks)
+    out = postprocess_small_regions(props, min_area=12, nms_thresh=0.7)
+
+    # reference: full-frame processing per mask + same NMS
+    for i, m in enumerate(masks):
+        full, _ = remove_small_regions(m, 12, "holes")
+        full, _ = remove_small_regions(full, 12, "islands")
+        if bool(np.asarray(out.valid)[i]):
+            np.testing.assert_array_equal(
+                np.asarray(out.masks)[i], full, err_msg=f"mask {i}"
+            )
