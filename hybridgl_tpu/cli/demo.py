@@ -22,11 +22,9 @@ from .main import load_params
 
 def overlay(image: np.ndarray, mask: np.ndarray, alpha: float = 0.5) -> np.ndarray:
     """Green overlay + contour, like the reference viz (demo.py:211-220)."""
-    out = image.astype(np.float32).copy()
-    color = np.array([0, 255, 0], np.float32)
-    m = mask.astype(bool)
-    out[m] = out[m] * (1 - alpha) + color * alpha
-    return out.astype(np.uint8)
+    from ..eval.viz import overlay_mask
+
+    return overlay_mask(image, mask, color=(0, 255, 0), alpha=alpha)
 
 
 def build_parser() -> argparse.ArgumentParser:
