@@ -50,3 +50,31 @@ def test_get_parser_falls_back():
     out = p.parse("a zebra in the middle")
     assert out.dir_flag == "middle"
     assert out.sentence.startswith("a zebra") or out.sentence.startswith("zebra")
+
+
+def test_refcoco_style_battery():
+    """Battery of RefCOCO-style expressions: the heuristic parser must
+    produce sane chunks/flags (spaCy adapter provides exact reference
+    parity when installed)."""
+    p = HeuristicParser()
+    cases = [
+        # (sentence, noun_phrase, nouns, dir_flag, rela_flag)
+        ("guy in red shirt", "guy", ["shirt"], "none", "none"),
+        ("left zebra", "left zebra", [], "left", "left"),
+        ("woman on right", "woman", [], "right", "none"),  # right-bug active
+        ("man sitting on the couch", "man", ["couch"], "none", "none"),
+        ("white car", "white car", [], "none", "none"),
+        ("the larger dog", "larger dog", [], "none", "big"),
+        ("giraffe to the left of the tree", "giraffe", ["tree"], "left", "left"),
+        # two relation keywords ('smaller', 'behind'): the reference picks by
+        # dependency depth; the heuristic picks the leftmost occurrence
+        ("smaller cup behind the plate", "smaller cup", ["plate"], "none", "small"),
+        ("person in front", "person", [], "none", "down"),
+        ("the bowl inside the box", "bowl", ["box"], "none", "within"),
+    ]
+    for sent, np_, nouns, dflag, rflag in cases:
+        out = p.parse(sent)
+        assert out.noun_phrase == np_, (sent, out.noun_phrase)
+        assert out.nouns == nouns, (sent, out.nouns)
+        assert out.dir_flag == dflag, (sent, out.dir_flag)
+        assert out.rela_flag == rflag, (sent, out.rela_flag)
