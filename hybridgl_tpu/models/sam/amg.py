@@ -123,8 +123,16 @@ def generate_proposals(
     scale_1024 = jnp.stack([jnp.asarray(rw, jnp.float32), jnp.asarray(rh, jnp.float32)])
     orig_scale = jnp.stack([jnp.asarray(w, jnp.float32), jnp.asarray(h, jnp.float32)])
 
+    # Cache the 256^2 decoder logits from pass 1 when the candidate set is
+    # small enough (single-crop RefCOCO: 192 x 256^2 f32 = 50 MB); pass 2
+    # then gathers instead of re-running the decoder + upscaling deconvs
+    # (the deconv fusions show up twice per image in device traces).
+    n_cand_total = chunks.shape[0] * B * M
+    cache_low_res = n_cand_total * 256 * 256 * 4 <= 256 * 1024 * 1024
+
     # ---- pass 1: score all candidates, keep only per-candidate scalars ----
     all_iou, all_stab, all_boxes, all_valid = [], [], [], []
+    all_low_res = []
     for ci in range(chunks.shape[0]):
         pts01 = jnp.asarray(chunks[ci])  # [B, 2]
         coords = (pts01 * scale_1024)[:, None, :]  # [B, 1, 2]
@@ -133,6 +141,8 @@ def generate_proposals(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
         )  # [B, 3, 256, 256], [B, 3]
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
+        if cache_low_res:
+            all_low_res.append(flat)
         logits = _canonical_logits(flat, rh, rw, h, w, sam_cfg, canonical)
         stab = stability_score(
             logits, sam_cfg.mask_threshold, amg_cfg.stability_score_offset
@@ -170,21 +180,24 @@ def generate_proposals(
     P = amg_cfg.max_proposals
     kept_idx, kept_valid = kept_in_score_order(res, P)
 
-    # ---- pass 2: re-decode only the survivors into canonical masks -------
+    # ---- pass 2: survivors' masks (gather from cache, or re-decode) ------
     kept_point = kept_idx // M
     kept_channel = kept_idx % M
     grid_dev = jnp.asarray(_chunk_points(grid01, amg_cfg.points_per_batch)).reshape(
         -1, 2
     )
     pts01 = grid_dev[kept_point]  # [P, 2]
-    coords = (pts01 * scale_1024)[:, None, :]
-    labels = jnp.ones((P, 1), jnp.float32)
-    low_res, _ = predict_points(
-        p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
-    )  # [P, 3, 256, 256]
-    sel = jnp.take_along_axis(
-        low_res, kept_channel.reshape(P, 1, 1, 1), axis=1
-    )[:, 0]
+    if cache_low_res:
+        sel = jnp.concatenate(all_low_res, axis=0)[kept_idx]  # [P, 256, 256]
+    else:
+        coords = (pts01 * scale_1024)[:, None, :]
+        labels = jnp.ones((P, 1), jnp.float32)
+        low_res, _ = predict_points(
+            p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
+        )  # [P, 3, 256, 256]
+        sel = jnp.take_along_axis(
+            low_res, kept_channel.reshape(P, 1, 1, 1), axis=1
+        )[:, 0]
     logits = _canonical_logits(sel, rh, rw, h, w, sam_cfg, canonical)
     masks = (logits > sam_cfg.mask_threshold) & kept_valid[:, None, None]
 
