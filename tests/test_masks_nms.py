@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -91,3 +92,16 @@ def test_box_near_crop_edge():
     boxes2 = jnp.asarray([[35.0, 50, 60, 70]])  # within atol of crop x0=30
     out2 = np.asarray(box_near_crop_edge(boxes2, [30, 0, 300, 300], orig))
     assert bool(out2[0]) is True
+
+
+@pytest.mark.parametrize("unroll", [1, 8, 64])
+def test_nms_unroll_variants_match(rng, unroll):
+    N = 60
+    centers = rng.random((N, 2)) * 100
+    wh = rng.random((N, 2)) * 30 + 2
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    scores = rng.random(N).astype(np.float32)
+    ref_keep = np_greedy_nms(boxes, scores, 0.5)
+    res = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, unroll=unroll)
+    idx, valid = kept_in_score_order(res, N)
+    assert list(np.asarray(idx)[np.asarray(valid)]) == ref_keep
