@@ -256,19 +256,22 @@ def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, p
         batch = prepare_records(
             chunk, pipe.parser, cfg, tokenizer=pipe.tokenizer
         )
-        pa, fa, pidx, fidx = step(
+        pa, fa, pidx, fidx, pious, fious = step(
             pipe.sam_params, pipe.clip_params, place_batch(batch, mesh)
         )
         state.pure = IoUAccum(*(a + float(b) for a, b in zip(state.pure, pa)))
         state.final = IoUAccum(*(a + float(b) for a, b in zip(state.final, fa)))
         pidx = np.asarray(pidx)
         fidx = np.asarray(fidx)
+        pious = np.asarray(pious)
+        fious = np.asarray(fious)
         for b in range(real):
             for si, sentence in enumerate(list(chunk[b].sentences)[: pidx.shape[1]]):
                 parity.add(
                     SelectionRecord(
                         int(ref_ids[idx + b]), sentence,
-                        int(pidx[b, si]), int(fidx[b, si]), 0.0, 0.0,
+                        int(pidx[b, si]), int(fidx[b, si]),
+                        float(pious[b, si]), float(fious[b, si]),
                     )
                 )
         idx += real

@@ -189,6 +189,8 @@ def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis)
     S_max = rec.tokens_sentence.shape[0]
     pure_idx = jnp.zeros((S_max,), jnp.int32)
     final_idx = jnp.zeros((S_max,), jnp.int32)
+    pure_ious = jnp.zeros((S_max,), jnp.float32)
+    final_ious = jnp.zeros((S_max,), jnp.float32)
 
     for si in range(S_max):
         stacked = jnp.concatenate(
@@ -241,32 +243,35 @@ def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis)
         )
         pure_idx = pure_idx.at[si].set(jnp.where(enabled, sel.pure_index, -1))
         final_idx = final_idx.at[si].set(jnp.where(enabled, sel.final_index, -1))
+        pure_ious = pure_ious.at[si].set(e * pio)
+        final_ious = final_ious.at[si].set(e * fio)
 
-    return pure_acc, final_acc, pure_idx, final_idx
+    return pure_acc, final_acc, pure_idx, final_idx, pure_ious, final_ious
 
 
 def build_full_eval_step(
     cfg: PipelineConfig, mesh: Mesh, axis: str = "dp", mp_axis: str | None = None
 ):
     """jitted ``step(sam_params, clip_params, batch) -> (pure IoUAccum,
-    final IoUAccum, pure_idx [B,S], final_idx [B,S])`` with psum'd accums."""
+    final IoUAccum, pure_idx [B,S], final_idx [B,S], pure_iou [B,S],
+    final_iou [B,S])`` with psum'd accums."""
 
     def per_device(sam_params, clip_params, batch: FullEvalBatch):
         def body(carry, rec):
             pa, fa = carry
-            p_acc, f_acc, pidx, fidx = _image_full_step(
+            p_acc, f_acc, pidx, fidx, pious, fious = _image_full_step(
                 sam_params, clip_params, rec, cfg, mp_axis
             )
             pa = IoUAccum(*(a + b for a, b in zip(pa, p_acc)))
             fa = IoUAccum(*(a + b for a, b in zip(fa, f_acc)))
-            return (pa, fa), (pidx, fidx)
+            return (pa, fa), (pidx, fidx, pious, fious)
 
-        (pa, fa), (pidx, fidx) = jax.lax.scan(
+        (pa, fa), (pidx, fidx, pious, fious) = jax.lax.scan(
             body, (IoUAccum.zeros(), IoUAccum.zeros()), batch
         )
         pa = IoUAccum(*(jax.lax.psum(x, axis) for x in pa))
         fa = IoUAccum(*(jax.lax.psum(x, axis) for x in fa))
-        return pa, fa, pidx, fidx
+        return pa, fa, pidx, fidx, pious, fious
 
     from jax.experimental.shard_map import shard_map
 
@@ -275,7 +280,7 @@ def build_full_eval_step(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), specs),
-        out_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
         check_rep=False,
     )
     return jax.jit(step)

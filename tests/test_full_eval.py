@@ -54,7 +54,7 @@ def test_full_eval_matches_sequential(pipeline, cfg_no_cleanup):
     batch = prepare_records(samples, parser, cfg, tokenizer=tokenizer, max_sentences=2)
     mesh = make_mesh(4)
     step = build_full_eval_step(cfg, mesh)
-    pa, fa, pidx, fidx = step(
+    pa, fa, pidx, fidx, pious, fious = step(
         seq_pipe.sam_params, seq_pipe.clip_params, place_batch(batch, mesh)
     )
 
@@ -65,10 +65,14 @@ def test_full_eval_matches_sequential(pipeline, cfg_no_cleanup):
 
     pidx = np.asarray(pidx)
     fidx = np.asarray(fidx)
+    pious = np.asarray(pious)
+    fious = np.asarray(fious)
     for b, results in enumerate(seq_results):
         for si, r in enumerate(results):
             assert pidx[b, si] == r.pure_index
             assert fidx[b, si] == r.final_index
+            assert abs(pious[b, si] - r.pure_iou) < 1e-5
+            assert abs(fious[b, si] - r.final_iou) < 1e-5
 
 
 def test_full_eval_2d_mesh(pipeline, cfg_no_cleanup):
@@ -80,13 +84,13 @@ def test_full_eval_2d_mesh(pipeline, cfg_no_cleanup):
 
     mesh1 = make_mesh(4)
     step1 = build_full_eval_step(cfg, mesh1)
-    pa1, fa1, pi1, fi1 = step1(
+    pa1, fa1, pi1, fi1, *_ = step1(
         pipeline.sam_params, pipeline.clip_params, place_batch(batch, mesh1)
     )
 
     mesh2 = make_mesh_2d(8, mp=2)
     step2 = build_full_eval_step(cfg, mesh2, mp_axis="mp")
-    pa2, fa2, pi2, fi2 = step2(
+    pa2, fa2, pi2, fi2, *_ = step2(
         pipeline.sam_params, pipeline.clip_params, place_batch(batch, mesh2)
     )
     np.testing.assert_allclose(float(pa2.cum_i), float(pa1.cum_i), rtol=1e-5)
