@@ -63,13 +63,15 @@ def main(argv=None) -> None:
         image, [args.ref_text], None, cfg.sam.img_size, cfg.canonical_size
     )
     state = pipe.init_state()
-    results = pipe.run_image(sample, state)
-    r = results[0]
+    props = pipe.propose(sample)
+    results = pipe._score_image(sample, props, state)
+    from ..pipeline.runner import materialize_results
+
+    r = materialize_results(results)[0]
     if r.final_index < 0:
         print("no proposals found")
         return
 
-    props = pipe.propose(sample)
     mask = np.asarray(props.masks[r.final_index])[: sample.h, : sample.w]
     vis = overlay(image[: sample.h, : sample.w], mask)
     Image.fromarray(vis).save(args.out)
