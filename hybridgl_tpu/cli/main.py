@@ -187,10 +187,17 @@ def main(argv=None) -> None:
     # device proposal stage
     from ..pipeline.runner import materialize_results
 
-    for offset, (sample, results) in enumerate(pipe.run_dataset(it, state)):
+    for offset, item in enumerate(pipe.run_dataset(it, state, yield_props=args.show_results)):
+        if args.show_results:
+            sample, results, props = item
+        else:
+            sample, results = item
+            props = None
         i = start + offset
         images_done += 1
         results = materialize_results(results)
+        if props is not None and images_done <= 50:
+            _save_result_overlays(args.log_dir, i, sample, results, props)
         for r in results:
             parity.add(
                 SelectionRecord(
@@ -212,6 +219,33 @@ def main(argv=None) -> None:
     if args.profile and pipe.timer is not None:
         print(pipe.timer.summary())
     _finish(args, cfg, state, parity, t0, images_done)
+
+
+def _save_result_overlays(log_dir, index, sample, results, props):
+    """--show_results: write the selected-mask overlays (reference's
+    result visualisation intent; demo.py:211-220 style)."""
+    import os
+
+    import numpy as np
+
+    from ..eval.viz import save_overlay
+
+    out_dir = os.path.join(log_dir, "results_viz")
+    os.makedirs(out_dir, exist_ok=True)
+    img = np.asarray(sample.image_canonical)[: sample.h, : sample.w]
+    masks = np.asarray(props.masks)
+    gt = (
+        np.asarray(sample.gt_mask)[: sample.h, : sample.w]
+        if sample.gt_mask is not None
+        else None
+    )
+    for si, r in enumerate(results):
+        if r.final_index < 0:
+            continue
+        m = masks[r.final_index][: sample.h, : sample.w]
+        save_overlay(
+            os.path.join(out_dir, f"{index:06d}_{si}.jpg"), img, m, gt_mask=gt
+        )
 
 
 def _finish(args, cfg, state, parity, t0, images_done):

@@ -330,25 +330,28 @@ class HybridGLPipeline:
                     props = self._cleanup_host(props)
         return props
 
-    def run_dataset(self, samples, state: PipelineState):
+    def run_dataset(self, samples, state: PipelineState, yield_props: bool = False):
         """Software-pipelined iteration: image i+1's proposal stage is
         dispatched (device, async) before image i's host cleanup runs, so
         the TPU never idles on connected-components/cv2 host work. Yields
-        (sample, results) pairs; mutates ``state``.
+        (sample, results) pairs — or (sample, results, proposals) with
+        ``yield_props`` (for visualisation) — and mutates ``state``.
         """
         pending = None  # (sample, in-flight device proposals)
+
+        def emit(smp, raw_props):
+            props = self._finish_props(raw_props)
+            results = self._score_image(smp, props, state)
+            return (smp, results, props) if yield_props else (smp, results)
+
         for sample in samples:
             with self._span("proposals_dispatch"):
                 props_next = self._dispatch_proposals(sample)
             if pending is not None:
-                prev_sample, prev_props = pending
-                yield prev_sample, self._score_image(
-                    prev_sample, self._finish_props(prev_props), state
-                )
+                yield emit(*pending)
             pending = (sample, props_next)
         if pending is not None:
-            sample, props = pending
-            yield sample, self._score_image(sample, self._finish_props(props), state)
+            yield emit(*pending)
 
     def run_image(
         self, sample: ImageSample, state: PipelineState

@@ -86,3 +86,23 @@ def test_cli_data_parallel(refer_root, tmp_path, monkeypatch):
     log_path = os.path.join(log_dir, "result_log_refcoco_val.txt")
     assert os.path.exists(log_path)
     assert "pure hybridgl:" in open(log_path).read()
+
+
+def test_cli_show_results(refer_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    log_dir = str(tmp_path / "logs_viz")
+    cli_main(
+        [
+            "--dataset", "refcoco",
+            "--split", "val",
+            "--refer_data_root", refer_root,
+            "--clip_model", "test-tiny",
+            "--sam_model", "test-tiny",
+            "--random-weights",
+            "--log_dir", log_dir,
+            "--show_results",
+        ]
+    )
+    viz = os.path.join(log_dir, "results_viz")
+    assert os.path.isdir(viz)
+    assert len(os.listdir(viz)) >= 1
