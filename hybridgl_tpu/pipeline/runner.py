@@ -383,17 +383,7 @@ class HybridGLPipeline:
     def _score_image(
         self, sample: ImageSample, props: Proposals, state: PipelineState
     ) -> List[SentenceResult]:
-        num_pre = int(props.num)
-        props = self._bucket_props(props, num_pre)
-        with self._span("crops+fusion"):
-            feats, gem_pf = self._feature_stage(
-                self.clip_params,
-                props,
-                jnp.asarray(sample.image_canonical),
-                sample.h,
-                sample.w,
-            )
-        num_props = num_pre
+        num_props = int(props.num)
         if num_props == 0:
             # no proposals survived: count a miss per sentence (the reference
             # would crash on torch.stack([]); we record IoU 0 to keep long
@@ -406,6 +396,16 @@ class HybridGLPipeline:
                 state.final = _accumulate(state.final, miss)
                 out.append(SentenceResult(s, -1, -1, 0.0, 0.0))
             return out
+
+        props = self._bucket_props(props, num_props)
+        with self._span("crops+fusion"):
+            feats, gem_pf = self._feature_stage(
+                self.clip_params,
+                props,
+                jnp.asarray(sample.image_canonical),
+                sample.h,
+                sample.w,
+            )
 
         # sticky clamp (reference: Hybridgl_main.py:178-181)
         if self.cfg.compat.k_clamp_sticky:
