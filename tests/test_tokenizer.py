@@ -46,3 +46,20 @@ def test_eot_position_matches_length():
     n = len(tk.encode("left guy"))
     assert out[0, n + 1] == tk.eot_token
     assert np.all(out[0, n + 2 :] == 0)
+
+
+def test_clip_image_preprocess():
+    import numpy as np
+
+    from hybridgl_tpu.models.clip.preprocess import clip_image_preprocess
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+    out = clip_image_preprocess(img, 224)
+    assert out.shape == (224, 224, 3)
+    assert out.dtype == np.float32
+    # normalized range sanity
+    assert -3.0 < out.min() < 0.5 and 0.0 < out.max() < 3.0
+    # square input: no crop distortion of center pixel ordering
+    sq = clip_image_preprocess(img[:300, :300], 224)
+    assert sq.shape == (224, 224, 3)
