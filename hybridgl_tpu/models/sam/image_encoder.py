@@ -128,12 +128,21 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         attn = jnp.einsum(
             "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
         )
-        attn = attn + decomposed_rel_pos_bias(
-            q,
-            p_attn["rel_pos_h"].astype(x.dtype),
-            p_attn["rel_pos_w"].astype(x.dtype),
-            size,
+        # add the decomposed rel-pos terms in the 6-D view of the score
+        # tensor (no separate [S, S] bias materialisation; the adds fuse
+        # into the matmul epilogue)
+        Rh = get_rel_pos_table(size, p_attn["rel_pos_h"].astype(x.dtype))
+        Rw = get_rel_pos_table(size, p_attn["rel_pos_w"].astype(x.dtype))
+        r_q = q.reshape(B, num_heads, size, size, hd)
+        rel_h = jnp.einsum(
+            "bnhwc,hkc->bnhwk", r_q, Rh, preferred_element_type=jnp.float32
         )
+        rel_w = jnp.einsum(
+            "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
+        )
+        attn6 = attn.reshape(B, num_heads, size, size, size, size)
+        attn6 = attn6 + rel_h[..., :, None] + rel_w[..., None, :]
+        attn = attn6.reshape(B, num_heads, size * size, size * size)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum(
             "bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32
