@@ -231,3 +231,47 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    import jax
+
+    from torch_ref import tiny_clip_config
+
+    pytest.importorskip("orbax.checkpoint")
+    cfg = tiny_clip_config()
+    params = init_clip(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save(path, params)
+    loaded = checkpoint.load(path)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(loaded)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    out = []
+    with pytest.raises(ValueError, match="boom"):
+        for x in prefetch(gen()):
+            out.append(x)
+    assert out == [1]
+
+
+def test_indexed_prefetcher_order(refer_root):
+    class Dummy:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            import time
+
+            time.sleep(0.01 * (7 - i))  # later items finish sooner
+            return i
+
+    assert list(IndexedPrefetcher(Dummy(), workers=3, depth=3)) == list(range(7))
