@@ -1,5 +1,9 @@
 """Parameter pytree construction (random init) + pytree utilities.
 
+Layouts correspond 1:1 to the reference checkpoints the converter maps
+(reference: third_party/modified_CLIP/clip/model.py state dict and
+third_party/segment-anything .pth layout — see core/convert.py).
+
 Param layouts are documented here once and shared by the random init, the
 torch checkpoint converter (core/convert.py) and the orbax checkpointer
 (core/checkpoint.py). All weight matrices are stored input-major

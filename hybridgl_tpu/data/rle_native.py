@@ -1,5 +1,8 @@
 """ctypes bindings for the native RLE codec (hybridgl_tpu/native/rle.cpp).
 
+TPU-native counterpart of the reference's vendored pycocotools C codec
+(reference: refer/external/mask.py, maskApi.c, built by refer/Makefile).
+
 Auto-builds the shared library with the bundled Makefile on first import
 when a toolchain is present; callers fall back to the numpy implementation
 in data/rle.py when unavailable (same results, slower on big masks).
