@@ -91,3 +91,18 @@ def report(acc: IoUAccum) -> dict:
         "mIoU": float(acc.mean_iou) * 100.0,
         "count": int(acc.count),
     }
+
+
+def a_is_part_of_b(result_seg, this_seg) -> bool:
+    """Containment predicate (reference: utils.py:386-395, unused by the
+    shipped drivers but part of the utility surface): A is 'part of' B when
+    at least 90% of A lies inside B and their IoU exceeds 0.5."""
+    import numpy as np
+
+    a = np.asarray(result_seg).astype(bool)
+    b = np.asarray(this_seg).astype(bool)
+    i = np.logical_and(a, b).sum()
+    u = np.logical_or(a, b).sum()
+    a_sum = max(int(a.sum()), 1)
+    contained = 1.0 - np.logical_and(b, a).sum() / a_sum < 0.1
+    return bool(contained and u > 0 and i / u > 0.5)

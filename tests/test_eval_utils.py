@@ -73,3 +73,39 @@ def test_overlay_mask():
     out = overlay_mask(img, m, color=(0, 255, 0), alpha=0.5)
     assert out[3, 3, 1] > 0
     assert out[0, 0].tolist() == [0, 0, 0]
+
+
+def test_a_is_part_of_b():
+    from hybridgl_tpu.eval.metrics import a_is_part_of_b
+
+    big = np.zeros((20, 20), bool)
+    big[2:18, 2:18] = True
+    inner = np.zeros((20, 20), bool)
+    inner[4:16, 4:16] = True
+    assert a_is_part_of_b(inner, big)
+    other = np.zeros((20, 20), bool)
+    other[0:3, 0:3] = True
+    assert not a_is_part_of_b(other, big)
+
+
+def test_top_level_exports():
+    import hybridgl_tpu
+
+    assert hybridgl_tpu.PipelineConfig is not None
+    assert hybridgl_tpu.HybridGLPipeline is not None
+    assert hybridgl_tpu.SamPredictor is not None
+    assert callable(hybridgl_tpu.tokenize)
+
+
+def test_stage_timer_summary():
+    from hybridgl_tpu.utils.profiling import StageTimer
+
+    t = StageTimer(block=False)
+    with t.span("a"):
+        pass
+    with t.span("a"):
+        pass
+    with t.span("b"):
+        pass
+    out = t.summary()
+    assert "a" in out and "b" in out and "avg_ms" in out
