@@ -84,6 +84,33 @@ def use_flash_attention() -> bool:
     return env is not None and env not in ("0", "false", "off")
 
 
+def use_bf16_scores() -> bool:
+    """Keep attention scores in the serving dtype (bf16) instead of f32,
+    opt-in via $HYBRIDGL_BF16_SCORES=1.
+
+    Trace-guided (tools/profile_trace.py): the [B, H, S, S] f32 score
+    tensors of the 32 encoder blocks dominate device DMA traffic. With this
+    knob the QK product still accumulates in f32 on the MXU but is stored
+    bf16, the rel-pos terms are added in bf16, and softmax runs in bf16
+    with an f32 denominator sum — halving score-tensor HBM traffic at
+    ~3e-3 relative output error (see tests/test_sam_encoder.py). No effect
+    when activations are f32.
+    """
+    env = os.environ.get("HYBRIDGL_BF16_SCORES")
+    return env is not None and env not in ("0", "false", "off")
+
+
+def _softmax_scores(attn: jax.Array) -> jax.Array:
+    """Numerically-stable softmax that tolerates bf16 scores: max-shift and
+    exp in the score dtype, denominator accumulated in f32."""
+    if attn.dtype == jnp.float32:
+        return jax.nn.softmax(attn, axis=-1)
+    m = jax.lax.stop_gradient(attn.max(axis=-1, keepdims=True))
+    e = jnp.exp(attn - m)
+    s = e.sum(axis=-1, keepdims=True, dtype=jnp.float32)
+    return (e.astype(jnp.float32) / s).astype(attn.dtype)
+
+
 def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
     """Windowed/global attention over an [B, S, S, D] tile with rel-pos."""
     B = x.shape[0]
@@ -125,9 +152,10 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         )
         out = out.reshape(B, num_heads, S, hd)
     else:
+        score_dt = x.dtype if use_bf16_scores() else jnp.float32
         attn = jnp.einsum(
             "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
-        )
+        ).astype(score_dt)
         # add the decomposed rel-pos terms in the 6-D view of the score
         # tensor (no separate [S, S] bias materialisation; the adds fuse
         # into the matmul epilogue)
@@ -136,14 +164,14 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         r_q = q.reshape(B, num_heads, size, size, hd)
         rel_h = jnp.einsum(
             "bnhwc,hkc->bnhwk", r_q, Rh, preferred_element_type=jnp.float32
-        )
+        ).astype(score_dt)
         rel_w = jnp.einsum(
             "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
-        )
+        ).astype(score_dt)
         attn6 = attn.reshape(B, num_heads, size, size, size, size)
         attn6 = attn6 + rel_h[..., :, None] + rel_w[..., None, :]
         attn = attn6.reshape(B, num_heads, size * size, size * size)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        attn = _softmax_scores(attn).astype(x.dtype)
         out = jnp.einsum(
             "bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32
         )

@@ -115,3 +115,23 @@ def test_predict_points_end_to_end(sam_pair, rng):
         )
     np.testing.assert_allclose(np.asarray(iou), t_iou.numpy(), atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(masks), t_masks.numpy(), atol=2e-3, rtol=2e-3)
+
+
+def test_bf16_scores_knob_close_to_f32(sam_pair, rng, monkeypatch):
+    """HYBRIDGL_BF16_SCORES keeps the encoder output within bf16-roundoff of
+    the f32-score path (both in bf16 activations)."""
+    _, cfg, params = sam_pair
+    from hybridgl_tpu.core.params import cast_pytree
+
+    img = rng.standard_normal((1, cfg.img_size, cfg.img_size, 3), dtype=np.float32)
+    enc_bf16 = cast_pytree(params["encoder"], jnp.bfloat16)
+    x = jnp.asarray(img, jnp.bfloat16)
+
+    monkeypatch.delenv("HYBRIDGL_BF16_SCORES", raising=False)
+    base = np.asarray(encode_image(enc_bf16, x, cfg), np.float32)
+    monkeypatch.setenv("HYBRIDGL_BF16_SCORES", "1")
+    fast = np.asarray(encode_image(enc_bf16, x, cfg), np.float32)
+
+    # outputs are LayerNorm'd; absolute tolerance in units of the ~1 scale
+    assert np.max(np.abs(base - fast)) < 0.15
+    assert np.mean(np.abs(base - fast)) < 0.02
