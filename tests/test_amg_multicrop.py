@@ -11,9 +11,11 @@ from hybridgl_tpu.core.config import AmgConfig
 from hybridgl_tpu.core.convert import convert_sam
 from hybridgl_tpu.models.sam.amg import (
     _crop_boxes_layer1,
+    build_point_grid,
     generate_proposals_multicrop,
 )
 
+from test_masks_nms import np_greedy_nms
 from torch_ref_sam import make_tiny_sam
 
 
@@ -124,3 +126,158 @@ def test_multicrop_prefers_small_crops_on_duplicates(tiny):
     idx, v = kept_in_score_order(res, 3)
     kept = list(np.asarray(idx)[np.asarray(v)])
     assert 1 in kept and 0 not in kept
+
+
+# ---------------------------------------------------------------------------
+# end-to-end diff vs a torch restatement of the reference multi-crop flow
+# (automatic_mask_generator.py:197-264: per-crop scoring -> crop-edge filter
+# -> per-crop NMS (iou scores) -> cross-crop NMS (1/crop-area scores))
+# ---------------------------------------------------------------------------
+
+
+def _torch_resize(img_f32_hwc, out_hw):
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(img_f32_hwc).permute(2, 0, 1)[None]
+    out = F.interpolate(t, out_hw, mode="bilinear", align_corners=False)
+    return out[0].permute(1, 2, 0).numpy()
+
+
+def _torch_crop_candidates(model, cfg, crop_img_f32, ch, cw, crh, crw, grid01,
+                           crop_box, img_box):
+    """Score every (point, channel) candidate of one crop; returns numpy
+    (iou, stab, boxes_canonical, valid, masks_crop) with boxes in original
+    image coords."""
+    import torch
+    import torch.nn.functional as F
+
+    S = cfg.img_size
+    resized = _torch_resize(crop_img_f32, (crh, crw))
+    frame = np.zeros((S, S, 3), np.float32)
+    frame[:crh, :crw] = resized
+    mean = np.array(cfg.pixel_mean, np.float32)
+    std = np.array(cfg.pixel_std, np.float32)
+    x = (frame - mean) / std
+    x[crh:] = 0
+    x[:, crw:] = 0
+    with torch.no_grad():
+        emb = model.image_encoder(
+            torch.from_numpy(x).permute(2, 0, 1)[None]
+        )[0]
+        coords = torch.from_numpy(grid01 * np.array([[crw, crh]], np.float32))
+        labels = torch.ones(len(grid01), 1)
+        sparse = model.prompt_encoder.embed_points(coords[:, None, :], labels)
+        dense = (
+            model.prompt_encoder.no_mask_embed.weight[0]
+            .reshape(1, -1, 1, 1)
+            .expand(len(grid01), -1, cfg.embed_grid, cfg.embed_grid)
+        )
+        masks, iou = model.mask_decoder(
+            emb, model.prompt_encoder.dense_pe(), sparse, dense
+        )
+        masks = masks.flatten(0, 1)
+        iou = iou.flatten(0, 1).numpy()
+        up = F.interpolate(masks[:, None], (S, S), mode="bilinear", align_corners=False)
+        up = up[:, :, :crh, :crw]
+        logits = F.interpolate(up, (ch, cw), mode="bilinear", align_corners=False)[
+            :, 0
+        ].numpy()
+
+    hi = (logits > 1.0).sum((-2, -1))
+    lo = (logits > -1.0).sum((-2, -1))
+    stab = hi / np.maximum(lo, 1)
+    binm = logits > 0.0
+    cx0, cy0 = crop_box[0], crop_box[1]
+    boxes = np.zeros((len(binm), 4), np.float32)
+    for i, m in enumerate(binm):
+        ys, xs = np.where(m)
+        if len(ys):
+            boxes[i] = [xs.min() + cx0, ys.min() + cy0, xs.max() + cx0, ys.max() + cy0]
+    valid = binm.any((-2, -1))
+    # near-crop-edge-but-not-near-image-edge filter (utils/amg.py:78-88)
+    cb = np.asarray(crop_box, np.float32)
+    ib = np.asarray(img_box, np.float32)
+    near_crop = np.abs(boxes - cb[None]) <= 20.0
+    near_img = np.abs(boxes - ib[None]) <= 20.0
+    valid &= ~np.any(near_crop & ~near_img, axis=-1)
+    return iou, stab, boxes, valid, binm
+
+
+def test_multicrop_amg_matches_reference_flow(tiny):
+    import torch
+    from torch_ref_sam import make_tiny_sam
+
+    model, cfg_m = make_tiny_sam()
+    cfg, params = tiny
+    assert cfg_m.img_size == cfg.img_size
+
+    rng = np.random.default_rng(11)
+    h, w = 24, 32
+    rh, rw = 48, 64
+    canonical = 32
+    S = cfg.img_size
+    imgc = np.zeros((canonical, canonical, 3), np.uint8)
+    imgc[:h, :w] = rng.integers(0, 255, (h, w, 3), np.uint8)
+    # consistent long-side-resized full frame (scale exactly 2)
+    img1024 = np.zeros((S, S, 3), np.float32)
+    img1024[:rh, :rw] = _torch_resize(imgc[:h, :w].astype(np.float32), (rh, rw))
+
+    fn = jax.jit(
+        lambda p, a, b: generate_proposals_multicrop(
+            p, a, rh, rw, b, h, w, cfg, AMG_MC, canonical
+        )
+    )
+    out = fn(params, jnp.asarray(img1024), jnp.asarray(imgc))
+    n = int(out.num)
+
+    # ---- oracle ----
+    img_box = [0, 0, w, h]
+    crop_boxes = [img_box] + np_generate_crop_boxes((h, w), 1, AMG_MC.crop_overlap_ratio)[1:]
+    grids = [build_point_grid(AMG_MC.points_per_side)] + [
+        build_point_grid(AMG_MC.points_per_side // AMG_MC.crop_n_points_downscale_factor)
+    ] * 4
+    all_boxes, all_iou, all_stab, all_inv_area, all_masks = [], [], [], [], []
+    for cb, grid in zip(crop_boxes, grids):
+        x0, y0, x1, y1 = cb
+        ch, cw = y1 - y0, x1 - x0
+        scale = S / max(ch, cw)
+        crh, crw = int(ch * scale + 0.5), int(cw * scale + 0.5)
+        crop_img = imgc[y0:y1, x0:x1].astype(np.float32)
+        iou, stab, boxes, valid, binm = _torch_crop_candidates(
+            model, cfg_m, crop_img, ch, cw, crh, crw, grid, cb, img_box
+        )
+        idx = np.where(valid)[0]
+        keep = np_greedy_nms(boxes[idx], iou[idx], AMG_MC.box_nms_thresh)
+        kept = idx[keep]
+        # uncrop kept masks into the canonical frame
+        for i in kept:
+            m = np.zeros((canonical, canonical), bool)
+            m[y0 : y0 + ch, x0 : x0 + cw] = binm[i]
+            all_masks.append(m)
+        all_boxes.append(boxes[kept])
+        all_iou.append(iou[kept])
+        all_stab.append(stab[kept])
+        all_inv_area.append(np.full(len(kept), 1.0 / (ch * cw), np.float32))
+    boxes_all = np.concatenate(all_boxes)
+    iou_all = np.concatenate(all_iou)
+    stab_all = np.concatenate(all_stab)
+    inv_all = np.concatenate(all_inv_area)
+    keep2 = np_greedy_nms(boxes_all, inv_all, AMG_MC.crop_nms_thresh)
+
+    assert n == len(keep2)
+    np.testing.assert_allclose(
+        np.asarray(out.iou_preds)[:n], iou_all[keep2], atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.stability)[:n], stab_all[keep2], atol=2e-2, rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.boxes_xyxy)[:n], boxes_all[keep2], atol=1.0
+    )
+    ours_masks = np.asarray(out.masks)[:n]
+    for i, j in enumerate(keep2):
+        om, rm = ours_masks[i], all_masks[j]
+        inter = (om & rm).sum()
+        union = (om | rm).sum()
+        assert union > 0 and inter / union > 0.95, (i, inter / union)
