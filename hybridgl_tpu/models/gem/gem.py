@@ -20,10 +20,10 @@ ViT params:
 Inputs are 448^2 (``GemConfig.img_size``) with the 224-pretrained
 positional embedding bilinearly interpolated to the larger grid.
 
-NOTE: validated structurally and numerically for self-consistency; without
-the external package in this environment, exact output parity with
-gem-torch is established via the eval-time ablation (guidance on/off)
-rather than a tensor-level golden test.
+NOTE: validated numerically against an independent torch restatement of
+the paper (tests/torch_ref_gem.py, 2e-4 agreement); exact parity with the
+gem-torch pip package itself still requires an environment that has it
+(docs/ACCURACY_VALIDATION.md section 5).
 """
 
 from __future__ import annotations

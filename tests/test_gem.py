@@ -80,3 +80,32 @@ def test_gem_depth_zero_matches_plain_clip_disabled():
     # depth must be >= 1 by contract
     cfg = GemConfig(depth=1)
     assert cfg.depth >= 1
+
+
+def test_gem_matches_torch_restatement(clip_setup, rng):
+    """Cross-check vs an INDEPENDENT torch restatement of the paper
+    (tests/torch_ref_gem.py): validates qkv layout, the self-self ensemble,
+    stream bookkeeping and pos-embed interpolation."""
+    import torch
+    from torch_ref import make_tiny_clip
+    from torch_ref_gem import torch_gem_features
+
+    cfg, params = clip_setup
+    model, _ = make_tiny_clip()
+    for depth, iters in ((2, 1), (3, 2)):
+        gem_cfg = GemConfig(img_size=cfg.image_size * 2, depth=depth, ss_attn_iters=iters)
+        img = rng.standard_normal(
+            (2, gem_cfg.img_size, gem_cfg.img_size, 3)
+        ).astype(np.float32)
+        pf, cls, G = gem_image_features(
+            params["visual"], jnp.asarray(img), cfg, gem_cfg
+        )
+        t_pf, t_cls = torch_gem_features(
+            model, torch.from_numpy(img).permute(0, 3, 1, 2), depth, iters
+        )
+        np.testing.assert_allclose(
+            np.asarray(pf), t_pf.numpy(), atol=2e-4, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cls), t_cls.numpy(), atol=2e-4, rtol=2e-4
+        )
