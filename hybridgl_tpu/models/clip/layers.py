@@ -14,6 +14,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ...core.dtypes import score_dtype, softmax_scores
+
 
 def layer_norm(p, x, eps: float = 1e-5):
     """LayerNorm computed in f32 regardless of activation dtype (matches the
@@ -59,10 +61,15 @@ def multi_head_attention(
 
     q, k, v = heads(q), heads(k), heads(v)
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(x.dtype)
-    attn = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32)
+    # scores stored at the serving dtype (core/dtypes.py policy); QK still
+    # accumulates f32 on the MXU
+    sdt = score_dtype(x.dtype)
+    attn = jnp.einsum(
+        "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
+    ).astype(sdt)
     if attn_bias is not None:
         attn = attn + attn_bias.astype(attn.dtype)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    attn = softmax_scores(attn).astype(x.dtype)
     out = jnp.einsum("nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(N, L, D)
     return out @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)

@@ -96,8 +96,10 @@ def attention_pool_2d(p, x, num_heads: int):
 
 
 def encode_image_resnet(p, images: jax.Array, layers: Sequence[int], heads: int):
-    """[N, S, S, 3] -> [N, output_dim] pooled features."""
-    x = images
+    """[N, S, S, 3] -> [N, output_dim] pooled features.
+
+    Param dtype drives the compute dtype (see vit.vit_stem)."""
+    x = images.astype(jnp.asarray(p["conv1_w"]).dtype)
     for i in (1, 2, 3):
         x = jax.nn.relu(
             _bn(p[f"bn{i}"], _conv(x, p[f"conv{i}_w"], stride=2 if i == 1 else 1))
@@ -108,7 +110,7 @@ def encode_image_resnet(p, images: jax.Array, layers: Sequence[int], heads: int)
         for bi in range(n_blocks):
             stride = 2 if (bi == 0 and li > 1) else 1
             x = bottleneck(blocks[bi], x, stride)
-    return attention_pool_2d(p["attnpool"], x, heads)
+    return attention_pool_2d(p["attnpool"], x, heads).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -54,4 +54,5 @@ def encode_text(
     else:
         pool = tokens.argmax(axis=-1)  # EOT has the highest token id
     x = jnp.take_along_axis(x, pool.reshape(-1, 1, 1), axis=1)[:, 0, :]
-    return x @ p["text_projection"].astype(x.dtype)
+    # f32 features at the boundary (see vit.vit_head)
+    return (x @ p["text_projection"].astype(x.dtype)).astype(jnp.float32)

@@ -26,8 +26,12 @@ def vit_stem(p, images: jax.Array, cfg: ClipConfig) -> jax.Array:
     """conv1 patchify -> +CLS -> +pos -> ln_pre. images: [N, H, W, 3] (NHWC).
 
     Returns tokens [N, 1+grid^2, width].
+
+    Runs at the PARAM dtype (crop preprocessing emits f32; bf16 params =
+    bf16 compute — the serving configuration; matmuls accumulate f32).
     """
-    dt = images.dtype
+    dt = jnp.asarray(p["conv1"]).dtype
+    images = images.astype(dt)
     x = jax.lax.conv_general_dilated(
         images,
         p["conv1"].astype(dt),  # [ph, pw, 3, width]
@@ -60,7 +64,9 @@ def vit_head(p, x, cfg: ClipConfig, cls_only: bool = True):
     if cls_only:
         x = x[:, 0, :]
     x = layer_norm(p["ln_post"], x)
-    return x @ p["proj"].astype(x.dtype)
+    # features leave the trunk in f32: downstream cosine scoring and argmax
+    # selection stay full-precision regardless of the serving dtype
+    return (x @ p["proj"].astype(x.dtype)).astype(jnp.float32)
 
 
 def encode_image(p, images, cfg: ClipConfig, cls_only: bool = True):

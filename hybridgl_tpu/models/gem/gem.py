@@ -68,15 +68,21 @@ def _l2norm(t, eps=1e-6):
 
 def self_self_attention(q, k, v, temp: float, iters: int):
     """qq/kk/vv ensemble; returns [N, H, L, hd]."""
+    from ...core.dtypes import score_dtype, softmax_scores
+
+    sdt = score_dtype(q.dtype)
     outs = []
     for t in (q, k, v):
         tn = _l2norm(t)
         attn = None
         for _ in range(max(iters, 1)):
-            attn = jax.nn.softmax(
-                temp
-                * jnp.einsum("nhqd,nhkd->nhqk", tn, tn, preferred_element_type=jnp.float32),
-                axis=-1,
+            attn = softmax_scores(
+                (
+                    temp
+                    * jnp.einsum(
+                        "nhqd,nhkd->nhqk", tn, tn, preferred_element_type=jnp.float32
+                    )
+                ).astype(sdt)
             ).astype(t.dtype)
             tn = _l2norm(jnp.einsum("nhqk,nhkd->nhqd", attn, tn))
         outs.append(jnp.einsum("nhqk,nhkd->nhqd", attn, v))
@@ -84,9 +90,12 @@ def self_self_attention(q, k, v, temp: float, iters: int):
 
 
 def _std_attention(q, k, v, scale):
-    attn = jax.nn.softmax(
-        scale * jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32),
-        axis=-1,
+    from ...core.dtypes import score_dtype, softmax_scores
+
+    attn = softmax_scores(
+        (
+            scale * jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32)
+        ).astype(score_dtype(q.dtype))
     ).astype(v.dtype)
     return jnp.einsum("nhqk,nhkd->nhqd", attn, v)
 
@@ -105,7 +114,9 @@ def gem_image_features(
     temp = gem_cfg.ss_attn_temp if gem_cfg.ss_attn_temp is not None else hd**-0.5
     scale = hd**-0.5
 
-    dt = images.dtype
+    # param dtype drives the compute dtype (see vit.vit_stem)
+    dt = jnp.asarray(p_visual["conv1"]).dtype
+    images = images.astype(dt)
     x = jax.lax.conv_general_dilated(
         images,
         p_visual["conv1"].astype(dt),
@@ -149,7 +160,8 @@ def gem_image_features(
 
     gem_feats = layer_norm(p_visual["ln_post"], x_gem) @ p_visual["proj"].astype(dt)
     cls_feats = layer_norm(p_visual["ln_post"], x[:, :1])[:, 0] @ p_visual["proj"].astype(dt)
-    return gem_feats[:, 1:], cls_feats, G
+    # f32 features at the boundary (cosine relevance stays full-precision)
+    return gem_feats[:, 1:].astype(jnp.float32), cls_feats.astype(jnp.float32), G
 
 
 def gem_heatmap(

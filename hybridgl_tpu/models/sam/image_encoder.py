@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.config import SamConfig
+from ...core.dtypes import score_dtype, softmax_scores
 
 LN_EPS = 1e-6  # build_sam.py uses LayerNorm(eps=1e-6) throughout the encoder
 
@@ -84,33 +85,6 @@ def use_flash_attention() -> bool:
     return env is not None and env not in ("0", "false", "off")
 
 
-def use_bf16_scores() -> bool:
-    """Keep attention scores in the serving dtype (bf16) instead of f32,
-    opt-in via $HYBRIDGL_BF16_SCORES=1.
-
-    Trace-guided (tools/profile_trace.py): the [B, H, S, S] f32 score
-    tensors of the 32 encoder blocks dominate device DMA traffic. With this
-    knob the QK product still accumulates in f32 on the MXU but is stored
-    bf16, the rel-pos terms are added in bf16, and softmax runs in bf16
-    with an f32 denominator sum — halving score-tensor HBM traffic at
-    ~3e-3 relative output error (see tests/test_sam_encoder.py). No effect
-    when activations are f32.
-    """
-    env = os.environ.get("HYBRIDGL_BF16_SCORES")
-    return env is not None and env not in ("0", "false", "off")
-
-
-def _softmax_scores(attn: jax.Array) -> jax.Array:
-    """Numerically-stable softmax that tolerates bf16 scores: max-shift and
-    exp in the score dtype, denominator accumulated in f32."""
-    if attn.dtype == jnp.float32:
-        return jax.nn.softmax(attn, axis=-1)
-    m = jax.lax.stop_gradient(attn.max(axis=-1, keepdims=True))
-    e = jnp.exp(attn - m)
-    s = e.sum(axis=-1, keepdims=True, dtype=jnp.float32)
-    return (e.astype(jnp.float32) / s).astype(attn.dtype)
-
-
 def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
     """Windowed/global attention over an [B, S, S, D] tile with rel-pos."""
     B = x.shape[0]
@@ -152,7 +126,9 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         )
         out = out.reshape(B, num_heads, S, hd)
     else:
-        score_dt = x.dtype if use_bf16_scores() else jnp.float32
+        # scores stored at the serving dtype (core/dtypes.py policy); QK
+        # still accumulates f32 on the MXU
+        score_dt = score_dtype(x.dtype)
         attn = jnp.einsum(
             "bnqd,bnkd->bnqk", q * scale, k, preferred_element_type=jnp.float32
         ).astype(score_dt)
@@ -171,7 +147,7 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         attn6 = attn.reshape(B, num_heads, size, size, size, size)
         attn6 = attn6 + rel_h[..., :, None] + rel_w[..., None, :]
         attn = attn6.reshape(B, num_heads, size * size, size * size)
-        attn = _softmax_scores(attn).astype(x.dtype)
+        attn = softmax_scores(attn).astype(x.dtype)
         out = jnp.einsum(
             "bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32
         )
@@ -227,8 +203,16 @@ def encoder_block(p, x: jax.Array, cfg: SamConfig, window: int) -> jax.Array:
 
 
 def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
-    """images: [N, 1024, 1024, 3] preprocessed -> [N, 64, 64, prompt_dim]."""
-    dt = images.dtype
+    """images: [N, 1024, 1024, 3] preprocessed -> [N, 64, 64, prompt_dim].
+
+    Runs at the PARAM dtype: preprocessing emits f32 (normalisation), and
+    following the activation dtype would silently run the whole encoder —
+    the pipeline's hottest stage — in f32 (quarter-rate MXU, 2x score-DMA).
+    Casting params bf16 (core.params.cast_pytree) is what selects bf16
+    serving; matmuls still accumulate f32 via preferred_element_type.
+    """
+    dt = jnp.asarray(p["patch_embed"]["w"]).dtype
+    images = images.astype(dt)
     x = jax.lax.conv_general_dilated(
         images,
         p["patch_embed"]["w"].astype(dt),

@@ -118,8 +118,8 @@ def test_predict_points_end_to_end(sam_pair, rng):
 
 
 def test_bf16_scores_knob_close_to_f32(sam_pair, rng, monkeypatch):
-    """HYBRIDGL_BF16_SCORES keeps the encoder output within bf16-roundoff of
-    the f32-score path (both in bf16 activations)."""
+    """bf16 score storage (the bf16-serving default) stays within
+    bf16-roundoff of the HYBRIDGL_F32_SCORES=1 opt-out path."""
     _, cfg, params = sam_pair
     from hybridgl_tpu.core.params import cast_pytree
 
@@ -127,9 +127,9 @@ def test_bf16_scores_knob_close_to_f32(sam_pair, rng, monkeypatch):
     enc_bf16 = cast_pytree(params["encoder"], jnp.bfloat16)
     x = jnp.asarray(img, jnp.bfloat16)
 
-    monkeypatch.delenv("HYBRIDGL_BF16_SCORES", raising=False)
+    monkeypatch.setenv("HYBRIDGL_F32_SCORES", "1")
     base = np.asarray(encode_image(enc_bf16, x, cfg), np.float32)
-    monkeypatch.setenv("HYBRIDGL_BF16_SCORES", "1")
+    monkeypatch.delenv("HYBRIDGL_F32_SCORES", raising=False)
     fast = np.asarray(encode_image(enc_bf16, x, cfg), np.float32)
 
     # outputs are LayerNorm'd; absolute tolerance in units of the ~1 scale
