@@ -88,6 +88,11 @@ def main():
         sents = ["the large brown dog on the left", "person behind the table"]
         return ImageSample(img1024, rh, rw, imgc, h, w, gt, sents[: int(sentences_per_image)])
 
+    if os.environ.get("BENCH_PROFILE"):
+        from hybridgl_tpu.utils.profiling import StageTimer
+
+        pipe.timer = StageTimer(block=True)
+
     state = pipe.init_state()
     samples = [make_sample(100 + i) for i in range(n_iter)]
     # warmup (compilation) — run the measured samples once so every
@@ -98,6 +103,10 @@ def main():
     for s in samples:
         pipe.run_image(s, state)
     compile_s = time.time() - t_compile
+    if pipe.timer is not None:
+        from hybridgl_tpu.utils.profiling import StageTimer
+
+        pipe.timer = StageTimer(block=True)  # drop warmup/compile spans
     t0 = time.time()
     for _ in pipe.run_dataset(iter(samples), state):
         pass
@@ -119,6 +128,10 @@ def main():
         f"warmup(compile)={compile_s:.1f}s device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+    if pipe.timer is not None:
+        # NOTE: block=True serialises stages for attribution — the printed
+        # img/s above is NOT comparable to unprofiled runs
+        print(pipe.timer.summary(), file=sys.stderr)
 
 
 if __name__ == "__main__":

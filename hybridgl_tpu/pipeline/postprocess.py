@@ -35,15 +35,20 @@ def remove_small_regions(
     working = (correct_holes ^ mask).astype(np.uint8)
     n_labels, regions, stats, _ = cv2.connectedComponentsWithStats(working, 8)
     sizes = stats[1:, -1]  # row 0 is background
-    small = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
-    if not small:
+    small = sizes < area_thresh
+    if not small.any():
         return mask, False
-    fill = [0] + small
-    if not correct_holes:
-        fill = [i for i in range(n_labels) if i not in fill]
-        if not fill:  # keep the largest island if everything is small
-            fill = [int(np.argmax(sizes)) + 1]
-    return np.isin(regions, fill), True
+    # label lookup table instead of np.isin: O(pixels) regardless of how
+    # many components there are (noisy masks can have thousands)
+    lut = np.zeros(n_labels, bool)
+    if correct_holes:
+        lut[0] = True  # background of the inverted frame == the mask itself
+        lut[1:] = small
+    else:
+        lut[1:] = ~small
+        if not lut.any():  # keep the largest island if everything is small
+            lut[int(np.argmax(sizes)) + 1] = True
+    return lut[regions], True
 
 
 def _np_box(mask: np.ndarray) -> np.ndarray:
@@ -91,11 +96,11 @@ def postprocess_small_regions(
 
     new_masks = masks.copy()
     changed_flags = np.zeros(len(masks), bool)
+    new_boxes = {}
     H, W = masks.shape[-2:]
     for i in range(n):
         if not valid[i]:
             continue
-        m = masks[i]
         # Connected components only need the mask's bounding box plus a
         # 1-px background ring: every enclosed background region (hole)
         # lies inside the bbox, every island is a mask pixel (inside the
@@ -107,18 +112,21 @@ def postprocess_small_regions(
         x0 = max(int(x0) - 1, 0)
         y1 = min(int(y1) + 2, H)
         x1 = min(int(x1) + 2, W)
-        crop = m[y0:y1, x0:x1]
+        crop = masks[i, y0:y1, x0:x1]
         c2, ch1 = remove_small_regions(crop, min_area, "holes")
         c2, ch2 = remove_small_regions(c2, min_area, "islands")
         changed = ch1 or ch2
         if changed:
-            m2 = m.copy()
-            m2[y0:y1, x0:x1] = c2
-            new_masks[i] = m2
+            new_masks[i, y0:y1, x0:x1] = c2
+            # the cleaned mask lives inside the crop, so its box does too
+            cb = _np_box(c2)
+            new_boxes[i] = cb + np.array([x0, y0, x0, y0], np.float32)
         changed_flags[i] = changed
 
     idx = [i for i in range(n) if valid[i]]
-    nms_boxes = np.stack([_np_box(new_masks[i]) for i in idx])
+    nms_boxes = np.stack(
+        [new_boxes[i] if changed_flags[i] else boxes[i] for i in idx]
+    )
     scores = np.array([0.0 if changed_flags[i] else 1.0 for i in idx], np.float32)
     keep = _np_nms(nms_boxes, scores, nms_thresh)
     keep_set = {idx[k] for k in keep}
