@@ -82,17 +82,22 @@ def _np_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float):
 
 
 def postprocess_small_regions(
-    props: Proposals, min_area: int, nms_thresh: float
+    props: Proposals, min_area: int, nms_thresh: float, return_changed: bool = False
 ) -> Proposals:
     """Host pass over a numpy-materialised Proposals bundle. Suppressed
     duplicates are invalidated in place (static shapes preserved); kept
-    masks/boxes are updated where the cleanup changed them."""
+    masks/boxes are updated where the cleanup changed them.
+
+    With ``return_changed`` returns (props, changed); ``changed`` False
+    means no mask was modified and no proposal suppressed — callers can
+    keep their original (e.g. device-resident) bundle and skip re-upload.
+    """
     masks = np.asarray(props.masks)
     boxes = np.asarray(props.boxes_xyxy).copy()
     valid = np.asarray(props.valid).copy()
     n = int(np.asarray(props.num))
     if n == 0 or min_area <= 0:
-        return props
+        return (props, False) if return_changed else props
 
     new_masks = masks.copy()
     changed_flags = np.zeros(len(masks), bool)
@@ -130,6 +135,9 @@ def postprocess_small_regions(
     scores = np.array([0.0 if changed_flags[i] else 1.0 for i in idx], np.float32)
     keep = _np_nms(nms_boxes, scores, nms_thresh)
     keep_set = {idx[k] for k in keep}
+    mutated = bool(changed_flags.any()) or len(keep_set) < len(idx)
+    if not mutated:
+        return (props, False) if return_changed else props
     for pos, i in enumerate(idx):
         if i not in keep_set:
             valid[i] = False
@@ -138,6 +146,12 @@ def postprocess_small_regions(
             boxes[i] = nms_boxes[pos]
 
     areas = new_masks.sum(axis=(-2, -1)).astype(np.float32)
+    if return_changed:
+        return _rebuild(props, new_masks, boxes, valid, areas), True
+    return _rebuild(props, new_masks, boxes, valid, areas)
+
+
+def _rebuild(props, new_masks, boxes, valid, areas):
     return Proposals(
         masks=new_masks,
         boxes_xyxy=boxes * valid[:, None],

@@ -285,11 +285,16 @@ class HybridGLPipeline:
             valid=np.asarray(props.valid),
             num=np.asarray(props.num),
         )
-        out = postprocess_small_regions_host(
+        out, changed = postprocess_small_regions_host(
             host_props,
             self.cfg.amg.min_mask_region_area,
             max(self.cfg.amg.box_nms_thresh, self.cfg.amg.crop_nms_thresh),
+            return_changed=True,
         )
+        if not changed:
+            # nothing modified or suppressed (the common case with real
+            # weights): keep the device-resident originals, skip re-upload
+            return props
         dev_masks = jnp.unpackbits(
             jnp.asarray(np.packbits(out.masks, axis=-1)), axis=-1, count=C
         ).astype(bool)
