@@ -230,6 +230,16 @@ class HybridGLPipeline:
         self._proposal_stage = jax.jit(proposal_stage)
         self._feature_stage = jax.jit(feature_stage)
         self._sentence_stage = jax.jit(sentence_stage)
+        # all sentences of an image in ONE dispatch (the reference loops
+        # sentences on the host, Hybridgl_main.py:150; per-sentence dispatch
+        # overhead dominates the stage on tunneled TPUs). Shared inputs
+        # (params/proposals/features/gt) broadcast; per-sentence inputs vmap.
+        self._sentence_stage_batched = jax.jit(
+            jax.vmap(
+                sentence_stage,
+                in_axes=(None, None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
+            )
+        )
 
     # ----------------------------------------------------------------- host
     def init_state(self) -> PipelineState:
@@ -429,44 +439,65 @@ class HybridGLPipeline:
             else jnp.zeros((self.cfg.canonical_size,) * 2, bool)
         )
 
-        results = []
-        for sentence in sample.sentences:
-            with self._span("parse+tokenize"):
+        ns = len(sample.sentences)
+        with self._span("parse+tokenize"):
+            rows = []
+            for sentence in sample.sentences:
                 parsed = self.parser.parse(sentence)
                 toks_s, toks_np_, toks_o, n_others = self._tokenize_parsed(parsed)
-            with self._span("sentence_stage"):
-                sel, score, pure_iu, final_iu = self._sentence_stage(
-                    self.clip_params,
-                    props,
-                    feats,
-                    gem_pf,
-                    sample.h,
-                    sample.w,
-                    jnp.asarray(toks_s),
-                    jnp.asarray(toks_np_),
-                    jnp.asarray(toks_o),
-                    n_others,
-                    dir_flag_id(parsed.dir_flag),
-                    rela_flag_id(parsed.rela_flag),
-                    self._black(parsed.rela_flag),
-                    parsed.has_other_nouns,
-                    k1,
-                    k2,
-                    gt,
+                rows.append(
+                    (
+                        toks_s,
+                        toks_np_,
+                        toks_o,
+                        n_others,
+                        dir_flag_id(parsed.dir_flag),
+                        rela_flag_id(parsed.rela_flag),
+                        self._black(parsed.rela_flag),
+                        parsed.has_other_nouns,
+                    )
                 )
+            # pad to the smallest power-of-two sentence bucket (each bucket
+            # is one cached jit specialisation); padded rows repeat row 0
+            # and their outputs are discarded
+            bucket = 1
+            while bucket < ns:
+                bucket *= 2
+            rows += [rows[0]] * (bucket - ns)
+            cols = list(zip(*rows))
+            batched = [np.stack([np.asarray(v) for v in col]) for col in cols]
+
+        with self._span("sentence_stage"):
+            sel, score, pure_iu, final_iu = self._sentence_stage_batched(
+                self.clip_params,
+                props,
+                feats,
+                gem_pf,
+                sample.h,
+                sample.w,
+                *(jnp.asarray(b) for b in batched),
+                k1,
+                k2,
+                gt,
+            )
+
+        results = []
+        for i, sentence in enumerate(sample.sentences):
+            piu = (pure_iu[0][i], pure_iu[1][i], pure_iu[2][i])
+            fiu = (final_iu[0][i], final_iu[1][i], final_iu[2][i])
             if sample.gt_mask is not None:
                 # async device accumulation — reading state later forces the
                 # sync; never block per sentence (tunnel round-trips are the
                 # throughput killer)
-                state.pure = _accumulate(state.pure, pure_iu)
-                state.final = _accumulate(state.final, final_iu)
+                state.pure = _accumulate(state.pure, piu)
+                state.final = _accumulate(state.final, fiu)
             results.append(
                 SentenceResult(
                     sentence,
-                    sel.pure_index,
-                    sel.final_index,
-                    pure_iu[2],
-                    final_iu[2],
+                    sel.pure_index[i],
+                    sel.final_index[i],
+                    piu[2],
+                    fiu[2],
                 )
             )
         return results
