@@ -21,6 +21,7 @@ stage is one dispatch.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Sequence
 
@@ -230,10 +231,10 @@ class HybridGLPipeline:
         self._proposal_stage = jax.jit(proposal_stage)
         self._feature_stage = jax.jit(feature_stage)
         self._sentence_stage = jax.jit(sentence_stage)
-        # all sentences of an image in ONE dispatch (the reference loops
-        # sentences on the host, Hybridgl_main.py:150; per-sentence dispatch
-        # overhead dominates the stage on tunneled TPUs). Shared inputs
-        # (params/proposals/features/gt) broadcast; per-sentence inputs vmap.
+        # optional: all sentences of an image in ONE dispatch (shared inputs
+        # broadcast, per-sentence inputs vmapped). Halves the serialized
+        # stage cost but measured slower end-to-end on v5e — see
+        # _score_image for the measurements; opt-in HYBRIDGL_BATCH_SENTENCES.
         self._sentence_stage_batched = jax.jit(
             jax.vmap(
                 sentence_stage,
@@ -457,15 +458,67 @@ class HybridGLPipeline:
                         parsed.has_other_nouns,
                     )
                 )
-            # pad to the smallest power-of-two sentence bucket (each bucket
-            # is one cached jit specialisation); padded rows repeat row 0
-            # and their outputs are discarded
-            bucket = 1
-            while bucket < ns:
-                bucket *= 2
-            rows += [rows[0]] * (bucket - ns)
-            cols = list(zip(*rows))
-            batched = [np.stack([np.asarray(v) for v in col]) for col in cols]
+
+        # Default: one async dispatch per sentence. The vmapped single-
+        # dispatch variant (HYBRIDGL_BATCH_SENTENCES=1) halves the
+        # SERIALIZED stage cost (146 -> 67 ms/img at 2 sentences) but
+        # measured slower end-to-end on v5e (0.86 vs 1.18 back-to-back;
+        # batched never matched per-sentence peaks across the day) — the
+        # small per-sentence launches overlap the next image's host work
+        # better than one wide launch. Kept opt-in pending a quieter host.
+        if os.environ.get("HYBRIDGL_BATCH_SENTENCES"):
+            return self._sentences_batched(sample, props, feats, gem_pf, rows, k1, k2, gt, state)
+
+        results = []
+        for sentence, row in zip(sample.sentences, rows):
+            toks_s, toks_np_, toks_o, n_others, dflag, rflag, black, has_other = row
+            with self._span("sentence_stage"):
+                sel, score, pure_iu, final_iu = self._sentence_stage(
+                    self.clip_params,
+                    props,
+                    feats,
+                    gem_pf,
+                    sample.h,
+                    sample.w,
+                    jnp.asarray(toks_s),
+                    jnp.asarray(toks_np_),
+                    jnp.asarray(toks_o),
+                    n_others,
+                    dflag,
+                    rflag,
+                    black,
+                    has_other,
+                    k1,
+                    k2,
+                    gt,
+                )
+            if sample.gt_mask is not None:
+                # async device accumulation — reading state later forces the
+                # sync; never block per sentence (tunnel round-trips are the
+                # throughput killer)
+                state.pure = _accumulate(state.pure, pure_iu)
+                state.final = _accumulate(state.final, final_iu)
+            results.append(
+                SentenceResult(
+                    sentence,
+                    sel.pure_index,
+                    sel.final_index,
+                    pure_iu[2],
+                    final_iu[2],
+                )
+            )
+        return results
+
+    def _sentences_batched(self, sample, props, feats, gem_pf, rows, k1, k2, gt, state):
+        """All sentences of an image in ONE vmapped dispatch (power-of-two
+        sentence buckets; padded rows repeat row 0, outputs discarded)."""
+        ns = len(rows)
+        bucket = 1
+        while bucket < ns:
+            bucket *= 2
+        rows = rows + [rows[0]] * (bucket - ns)
+        cols = list(zip(*rows))
+        batched = [np.stack([np.asarray(v) for v in col]) for col in cols]
 
         with self._span("sentence_stage"):
             sel, score, pure_iu, final_iu = self._sentence_stage_batched(
@@ -486,9 +539,6 @@ class HybridGLPipeline:
             piu = (pure_iu[0][i], pure_iu[1][i], pure_iu[2][i])
             fiu = (final_iu[0][i], final_iu[1][i], final_iu[2][i])
             if sample.gt_mask is not None:
-                # async device accumulation — reading state later forces the
-                # sync; never block per sentence (tunnel round-trips are the
-                # throughput killer)
                 state.pure = _accumulate(state.pure, piu)
                 state.final = _accumulate(state.final, fiu)
             results.append(
