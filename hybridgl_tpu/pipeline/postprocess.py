@@ -51,6 +51,52 @@ def remove_small_regions(
     return lut[regions], True
 
 
+def _remove_small_holes_crop(
+    mask: np.ndarray, area_thresh: float, ring_sides: Tuple[bool, bool, bool, bool]
+) -> Tuple[np.ndarray, bool]:
+    """Holes pass on a bbox+1px-ring crop window.
+
+    A background component connected to the ring is the *global* background
+    seen through the window, not a hole: the reference's full-frame pass
+    (reference: utils/amg.py:267-291) can never fill it because in the full
+    frame it is the unbounded outside region. It must therefore be protected
+    here regardless of its (possibly tiny) in-crop size — e.g. a bbox-tight
+    40x20 solid mask leaves only a 124-px ring of background, which a naive
+    size test would misclassify as a fillable hole when min_area is 800.
+
+    ``ring_sides`` = (top, bottom, left, right): True where the crop border
+    is the added ring. A side without a ring coincides with the image
+    border, where the full-frame pass sees exactly the same component (any
+    border component there that extended sideways past the bbox would touch
+    a ring column and be protected through it).
+    """
+    import cv2
+
+    working = (~mask).astype(np.uint8)
+    n_labels, regions, stats, _ = cv2.connectedComponentsWithStats(working, 8)
+    sizes = stats[1:, -1]
+    small = sizes < area_thresh
+    if not small.any():
+        return mask, False
+    protected = np.zeros(n_labels, bool)
+    top, bottom, left, right = ring_sides
+    if top:
+        protected[np.unique(regions[0])] = True
+    if bottom:
+        protected[np.unique(regions[-1])] = True
+    if left:
+        protected[np.unique(regions[:, 0])] = True
+    if right:
+        protected[np.unique(regions[:, -1])] = True
+    fill = small & ~protected[1:]
+    if not fill.any():
+        return mask, False
+    lut = np.zeros(n_labels, bool)
+    lut[0] = True  # label 0 = the mask pixels themselves
+    lut[1:] = fill
+    return lut[regions], True
+
+
 def _np_box(mask: np.ndarray) -> np.ndarray:
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
@@ -112,13 +158,14 @@ def postprocess_small_regions(
         # bbox by definition), and any background region touching the bbox
         # edge connects to the ring exactly like it connects to the global
         # background. Identical classification, ~10x fewer pixels.
-        x0, y0, x1, y1 = boxes[i].astype(np.int64)
-        y0 = max(int(y0) - 1, 0)
-        x0 = max(int(x0) - 1, 0)
-        y1 = min(int(y1) + 2, H)
-        x1 = min(int(x1) + 2, W)
+        bx0, by0, bx1, by1 = (int(v) for v in boxes[i])
+        y0 = max(by0 - 1, 0)
+        x0 = max(bx0 - 1, 0)
+        y1 = min(by1 + 2, H)
+        x1 = min(bx1 + 2, W)
+        ring = (by0 >= 1, by1 + 2 <= H, bx0 >= 1, bx1 + 2 <= W)
         crop = masks[i, y0:y1, x0:x1]
-        c2, ch1 = remove_small_regions(crop, min_area, "holes")
+        c2, ch1 = _remove_small_holes_crop(crop, min_area, ring)
         c2, ch2 = remove_small_regions(c2, min_area, "islands")
         changed = ch1 or ch2
         if changed:

@@ -378,18 +378,23 @@ class HybridGLPipeline:
 
     def _bucket_props(self, props: Proposals, num_props: int) -> Proposals:
         """Slice the proposal bundle to the smallest power-of-two bucket
-        >= num_props (min 8). NMS ordering puts valid proposals first, so a
-        prefix slice keeps exactly the live ones; indices into the bucketed
-        arrays equal indices into the full bundle. Each bucket size is its
-        own cached jit specialisation; the fusion stage's cost scales with
-        the bucket instead of the worst-case P."""
+        (min 8) covering every live proposal. Raw AMG output orders valid
+        proposals first, but small-region cleanup invalidates suppressed
+        duplicates *in place* (pipeline/postprocess.py), so validity is not
+        necessarily a prefix — the bucket therefore covers the highest live
+        index, not just valid.sum(). Indices into the bucketed arrays equal
+        indices into the full bundle. Each bucket size is its own cached jit
+        specialisation; the fusion stage's cost scales with the bucket
+        instead of the worst-case P."""
         import os
 
         P = int(props.masks.shape[0])
         if os.environ.get("HYBRIDGL_NO_BUCKETING"):
             return props  # single jit specialisation (benchmarks/CI)
+        valid = np.asarray(props.valid)
+        extent = int(valid.nonzero()[0].max()) + 1 if valid.any() else num_props
         bucket = 8
-        while bucket < num_props:
+        while bucket < extent:
             bucket *= 2
         bucket = min(bucket, P)
         if bucket == P:

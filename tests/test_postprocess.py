@@ -90,6 +90,96 @@ def test_postprocess_noop_when_disabled():
     assert out is props
 
 
+def test_bbox_tight_mask_not_demoted_at_large_min_area():
+    """Regression (advisor, round 1): a bbox-tight solid mask must survive
+    the crop-windowed holes pass untouched. The crop's ring-connected
+    background (124 px here) is the *global* background, not a hole, even
+    when it is smaller than min_area (RefCOCO default 800)."""
+    H = W = 200
+    m = np.zeros((H, W), bool)
+    m[50:70, 50:90] = True  # 20x40 solid rectangle, area 800
+    props = _make_props([m])
+    out, changed = postprocess_small_regions(
+        props, min_area=800, nms_thresh=0.7, return_changed=True
+    )
+    assert not changed  # nothing modified, nothing suppressed
+    np.testing.assert_array_equal(np.asarray(out.masks)[0], m)
+    assert bool(np.asarray(out.valid)[0])
+    # full-frame reference agrees: the background is one huge component
+    full, ch = remove_small_regions(m, 800, "holes")
+    assert not ch
+
+
+def test_full_frame_equivalence_large_min_area():
+    """Crop-windowed cleanup == full-frame cleanup in the min_area=800
+    regime (the RefCOCO config), incl. edge-touching and holey masks."""
+    H = W = 300
+    masks = []
+    # bbox-tight rectangle (the advisor's repro)
+    m = np.zeros((H, W), bool)
+    m[10:30, 10:50] = True
+    masks.append(m)
+    # big mask with a genuinely small interior hole -> must still be filled
+    m = np.zeros((H, W), bool)
+    m[50:150, 50:150] = True
+    m[90:100, 90:100] = False  # 100-px hole < 800
+    masks.append(m)
+    # full-width stripe touching both side edges (background split above/below)
+    m = np.zeros((H, W), bool)
+    m[120:180, :] = True
+    masks.append(m)
+    # mask in the image corner (ring clipped on two sides)
+    m = np.zeros((H, W), bool)
+    m[0:40, 0:40] = True
+    m[10:20, 10:20] = False  # 100-px hole
+    masks.append(m)
+    # mask with a pocket open to the image edge (not an enclosed hole)
+    m = np.zeros((H, W), bool)
+    m[250:300, 100:200] = True
+    m[280:300, 140:160] = False  # open to the bottom edge, 400 px
+    masks.append(m)
+
+    for i, m in enumerate(masks):
+        props = _make_props([m])
+        out = postprocess_small_regions(props, min_area=800, nms_thresh=0.7)
+        full, _ = remove_small_regions(m, 800, "holes")
+        full, _ = remove_small_regions(full, 800, "islands")
+        np.testing.assert_array_equal(
+            np.asarray(out.masks)[0], full, err_msg=f"mask {i}"
+        )
+
+
+def test_bucket_props_covers_non_prefix_valid():
+    """Regression (advisor, round 1): after in-place cleanup suppression,
+    validity is not a prefix; the bucket slice must still cover the highest
+    live index (here 12 with only 8 valid -> old code sliced to 8)."""
+    import jax.numpy as jnp
+    from hybridgl_tpu.pipeline.runner import HybridGLPipeline
+
+    P = 64
+    valid = np.zeros(P, bool)
+    valid[:7] = True
+    valid[12] = True
+    props = Proposals(
+        masks=jnp.zeros((P, 8, 8), bool),
+        boxes_xyxy=jnp.zeros((P, 4), jnp.float32),
+        iou_preds=jnp.zeros(P, jnp.float32),
+        stability=jnp.zeros(P, jnp.float32),
+        points=jnp.zeros((P, 2), jnp.float32),
+        areas=jnp.zeros(P, jnp.float32),
+        valid=jnp.asarray(valid),
+        num=jnp.asarray(8, jnp.int32),
+    )
+    pipe = object.__new__(HybridGLPipeline)  # _bucket_props is self-free
+    out = pipe._bucket_props(props, 8)
+    assert out.masks.shape[0] >= 13
+    assert bool(np.asarray(out.valid)[12])
+    # all-invalid bundles still bucket sanely
+    props0 = props._replace(valid=jnp.zeros(P, bool), num=jnp.asarray(0, jnp.int32))
+    out0 = pipe._bucket_props(props0, 0)
+    assert out0.masks.shape[0] == 8
+
+
 def test_bbox_cropped_cleanup_matches_full_frame(rng):
     """The bbox+ring CC optimisation must match full-frame processing."""
     from hybridgl_tpu.pipeline.postprocess import remove_small_regions
