@@ -244,6 +244,79 @@ def place_region(
     return jnp.where(inside, out, fill)
 
 
+def _resample_weights(
+    out_frame: int,
+    in_frame: int,
+    in_extent,
+    out_extent,
+    antialias: bool,
+    dtype=jnp.float32,
+):
+    """Dense [out_frame, in_frame] 1-D resampling matrix.
+
+    Maps the first ``in_extent`` source samples onto the first
+    ``out_extent`` output rows (both may be traced scalars); rows past
+    ``out_extent`` and columns past ``in_extent`` are zero. With
+    ``antialias`` this is the triangle filter torch uses for
+    ``F.interpolate(mode='bilinear', antialias=True)`` / torchvision
+    ``T.Resize(antialias=True)``: on downsampling the filter support is
+    widened by the scale factor (a proper low-pass), on upsampling it
+    reduces to plain half-pixel bilinear. Boundary taps are dropped and the
+    row renormalised, exactly like torch's windowed implementation.
+    """
+    i = jnp.arange(out_frame, dtype=dtype)[:, None]
+    j = jnp.arange(in_frame, dtype=dtype)[None, :]
+    in_e = jnp.asarray(in_extent, dtype)
+    out_e = jnp.asarray(out_extent, dtype)
+    scale = in_e / out_e
+    filt_scale = jnp.maximum(scale, 1.0) if antialias else jnp.asarray(1.0, dtype)
+    center = (i + 0.5) * scale
+    x = (j + 0.5 - center) / filt_scale
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(x))
+    w = jnp.where(j < in_e, w, 0.0)
+    w = jnp.where(i < out_e, w, 0.0)
+    return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+
+
+def resize_antialias(
+    img: jax.Array,
+    out_hw: tuple[int, int],
+    antialias: bool = True,
+) -> jax.Array:
+    """torchvision ``T.Resize(out_hw, antialias=True)``-exact resize of a
+    full [H, W] or [H, W, C] array (reference: the GEM heatmap resize,
+    Hybridgl_main.py:201, and the COCO-instance GT resize,
+    data/dataset_refer_bert.py:136, both pass antialias=True).
+
+    Matrix form: out = Wy @ img @ Wx^T — two small dense matmuls the MXU
+    eats, instead of data-dependent gathers.
+    """
+    return place_valid_region_antialias(img, out_hw, out_hw, antialias)
+
+
+def place_valid_region_antialias(
+    img: jax.Array,
+    out_frame: tuple[int, int],
+    dst_hw,
+    antialias: bool = True,
+) -> jax.Array:
+    """Antialiased resize of a full [H, W(, C)] map into the (dst_h, dst_w)
+    valid region of a zero-padded static frame; dst extents may be traced.
+
+    This is the traced-shape companion of :func:`resize_antialias` used by
+    the sentence stage to move the GEM heatmap into the per-image eval
+    frame with torchvision ``antialias=True`` semantics (which differ from
+    plain bilinear only when an image side is smaller than the heatmap)."""
+    H, W = img.shape[0], img.shape[1]
+    OH, OW = out_frame
+    wy = _resample_weights(OH, H, H, dst_hw[0], antialias)
+    wx = _resample_weights(OW, W, W, dst_hw[1], antialias)
+    compute = img if jnp.issubdtype(img.dtype, jnp.floating) else img.astype(jnp.float32)
+    if compute.ndim == 2:
+        return wy @ compute @ wx.T
+    return jnp.einsum("oh,hwc,pw->opc", wy, compute, wx)
+
+
 def valid_mask(frame: tuple[int, int], hw) -> jax.Array:
     """Boolean [H, W] mask of the valid (h, w) region of a padded frame."""
     H, W = frame

@@ -30,7 +30,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import PipelineConfig
 from ..eval.metrics import IoUAccum, mask_iou
 from ..kernels.masks import box_xyxy_to_xywh
-from ..kernels.resize import place_valid_region, resize_bilinear, valid_mask
+from ..kernels.resize import (
+    place_valid_region_antialias,
+    resize_bilinear,
+    valid_mask,
+)
 from ..models.clip import tokenizer as tok
 from ..models.clip.fusion import calculate_score, hybrid_forward
 from ..models.clip.text import encode_text
@@ -214,7 +218,7 @@ def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis)
         npf_n = np_f / jnp.maximum(jnp.linalg.norm(np_f), 1e-6)
         rel = (gem_pf @ npf_n).reshape(gem_grid, gem_grid)
         heat448 = resize_bilinear(rel, (cfg.gem.img_size, cfg.gem.img_size))
-        heat = place_valid_region(heat448, heat448.shape, (C, C), (rec.h, rec.w))
+        heat = place_valid_region_antialias(heat448, (C, C), (rec.h, rec.w))
         heat = normalize_heatmap(heat, vm, rec.dir_flag[si])
         gem_scores = gem_mask_scores(heat, props.masks, vm, rec.black[si])
         sel = select_candidates(

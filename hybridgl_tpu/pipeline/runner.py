@@ -32,7 +32,11 @@ import numpy as np
 from ..core.config import PipelineConfig
 from ..eval.metrics import IoUAccum, mask_iou
 from ..kernels.masks import box_xyxy_to_xywh
-from ..kernels.resize import place_valid_region, resize_bilinear, valid_mask
+from ..kernels.resize import (
+    place_valid_region_antialias,
+    resize_bilinear,
+    valid_mask,
+)
 from ..lang import ExpressionParser, ParsedExpression, get_parser
 from ..models.clip import tokenizer as tok
 from ..models.clip.fusion import calculate_score, hybrid_forward
@@ -201,12 +205,14 @@ class HybridGLPipeline:
             )
 
             # GEM heatmap for the noun phrase -> back to the original (h, w)
-            # region of the canonical frame (reference resizes the 448-frame
-            # map to the image size, Hybridgl_main.py:201)
+            # region of the canonical frame. The reference resizes the
+            # 448-frame map to the image size with antialias=True
+            # (Hybridgl_main.py:201): a triangle filter that differs from
+            # plain bilinear whenever an image side is below 448.
             npf_n = np_f / jnp.maximum(jnp.linalg.norm(np_f), 1e-6)
             rel = (gem_pf @ npf_n).reshape(gem_grid_static, gem_grid_static)
             heat448 = resize_bilinear(rel, (cfg.gem.img_size, cfg.gem.img_size))
-            heat = place_valid_region(heat448, heat448.shape, (C, C), (h, w))
+            heat = place_valid_region_antialias(heat448, (C, C), (h, w))
             vm = valid_mask((C, C), (h, w))
             heat = normalize_heatmap(heat, vm, dir_flag)
 
