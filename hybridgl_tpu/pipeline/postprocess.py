@@ -128,11 +128,21 @@ def _np_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float):
 
 
 def postprocess_small_regions(
-    props: Proposals, min_area: int, nms_thresh: float, return_changed: bool = False
+    props: Proposals,
+    min_area: int,
+    nms_thresh: float,
+    return_changed: bool = False,
+    hw=None,
 ) -> Proposals:
     """Host pass over a numpy-materialised Proposals bundle. Suppressed
     duplicates are invalidated in place (static shapes preserved); kept
     masks/boxes are updated where the cleanup changed them.
+
+    ``hw`` is the image's true (h, w) extent when the masks live in a
+    zero-padded canonical frame: the reference runs cv2 on the (h, w)
+    image, where a background pocket open at the image edge is its own
+    component judged by size — the frame padding must not bridge it to the
+    global background. Defaults to the full frame.
 
     With ``return_changed`` returns (props, changed); ``changed`` False
     means no mask was modified and no proposal suppressed — callers can
@@ -149,6 +159,8 @@ def postprocess_small_regions(
     changed_flags = np.zeros(len(masks), bool)
     new_boxes = {}
     H, W = masks.shape[-2:]
+    if hw is not None:
+        H, W = int(hw[0]), int(hw[1])  # crops clip to the true image extent
     for i in range(n):
         if not valid[i]:
             continue
@@ -208,4 +220,5 @@ def _rebuild(props, new_masks, boxes, valid, areas):
         areas=areas,
         valid=valid,
         num=np.asarray(valid.sum(), np.int32),
+        overflow=props.overflow,
     )

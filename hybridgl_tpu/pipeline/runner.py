@@ -108,6 +108,7 @@ class HybridGLPipeline:
         )
         self.tokenizer = tokenizer or tok.default_tokenizer()
         self.timer = None  # optional utils.profiling.StageTimer
+        self._warned_overflow = False
         self._build_stages()
 
     # ------------------------------------------------------------------ jit
@@ -283,9 +284,9 @@ class HybridGLPipeline:
         min_mask_region_area > 0 — true for both driver configs)."""
         with self._span("proposals"):
             props = self._dispatch_proposals(sample)
-        return self._finish_props(props)
+        return self._finish_props(props, (sample.h, sample.w))
 
-    def _cleanup_host(self, props: Proposals) -> Proposals:
+    def _cleanup_host(self, props: Proposals, hw) -> Proposals:
         """Host small-region cleanup with bit-packed mask transfers:
         [P, C, C] bool moves as packed uint8 (8x less host<->device
         traffic — the dominant cost of this stage on tunneled TPUs)."""
@@ -301,12 +302,14 @@ class HybridGLPipeline:
             areas=np.asarray(props.areas),
             valid=np.asarray(props.valid),
             num=np.asarray(props.num),
+            overflow=props.overflow,
         )
         out, changed = postprocess_small_regions_host(
             host_props,
             self.cfg.amg.min_mask_region_area,
             max(self.cfg.amg.box_nms_thresh, self.cfg.amg.crop_nms_thresh),
             return_changed=True,
+            hw=hw,
         )
         if not changed:
             # nothing modified or suppressed (the common case with real
@@ -324,6 +327,7 @@ class HybridGLPipeline:
             areas=jnp.asarray(out.areas),
             valid=jnp.asarray(out.valid),
             num=jnp.asarray(out.num),
+            overflow=props.overflow,
         )
 
     def _span(self, name: str):
@@ -345,11 +349,27 @@ class HybridGLPipeline:
             sample.w,
         )
 
-    def _finish_props(self, props: Proposals) -> Proposals:
+    def _finish_props(self, props: Proposals, hw) -> Proposals:
+        # Surface static-bucket truncation: the reference keeps every NMS
+        # survivor (automatic_mask_generator.py:197-264); if our
+        # max_proposals / max_candidates_per_crop buckets dropped any,
+        # coverage silently shrank — warn once with the configured knobs.
+        overflow = int(props.overflow)
+        if overflow > 0 and not self._warned_overflow:
+            import warnings
+
+            self._warned_overflow = True
+            warnings.warn(
+                f"proposal bucket overflow: {overflow} NMS survivor(s) dropped "
+                f"(max_proposals={self.cfg.amg.max_proposals}, "
+                f"max_candidates_per_crop={self.cfg.amg.max_candidates_per_crop}); "
+                "raise the buckets to keep reference-parity coverage",
+                stacklevel=2,
+            )
         if self.cfg.amg.min_mask_region_area > 0:
             with self._span("small_region_cleanup"):
                 if int(props.num) > 0:
-                    props = self._cleanup_host(props)
+                    props = self._cleanup_host(props, hw)
         return props
 
     def run_dataset(self, samples, state: PipelineState, yield_props: bool = False):
@@ -362,7 +382,7 @@ class HybridGLPipeline:
         pending = None  # (sample, in-flight device proposals)
 
         def emit(smp, raw_props):
-            props = self._finish_props(raw_props)
+            props = self._finish_props(raw_props, (smp.h, smp.w))
             results = self._score_image(smp, props, state)
             return (smp, results, props) if yield_props else (smp, results)
 
@@ -405,7 +425,11 @@ class HybridGLPipeline:
         bucket = min(bucket, P)
         if bucket == P:
             return props
-        return Proposals(*(x[:bucket] for x in props[:-1]), props.num)
+        sliced = {
+            f: getattr(props, f)[:bucket]
+            for f in ("masks", "boxes_xyxy", "iou_preds", "stability", "points", "areas", "valid")
+        }
+        return props._replace(**sliced)
 
     def _score_image(
         self, sample: ImageSample, props: Proposals, state: PipelineState
