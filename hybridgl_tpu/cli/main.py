@@ -260,7 +260,12 @@ def _finish(args, cfg, state, parity, t0, images_done):
 
 
 def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, parity, t0):
-    """Sharded eval over all local devices (parallel/full_eval.py)."""
+    """Sharded eval over all local devices (parallel/full_eval.py).
+
+    With ``compat.k_clamp_sticky`` (the parity default) the step returns
+    per-image scoring ingredients and the sticky k1/k2 selection is
+    replayed host-side in dataset order — results are identical to the
+    sequential driver (see tests/test_full_eval.py)."""
     import itertools
 
     import jax
@@ -269,6 +274,7 @@ def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, p
     from ..eval.metrics import IoUAccum
     from ..parallel.full_eval import (
         build_full_eval_step,
+        finalize_sticky,
         place_batch,
         prepare_records,
     )
@@ -276,7 +282,8 @@ def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, p
 
     D = len(jax.devices())
     mesh = make_mesh(D)
-    step = build_full_eval_step(cfg, mesh)
+    sticky = cfg.compat.k_clamp_sticky
+    step = build_full_eval_step(cfg, mesh, sticky=sticky)
     done = 0
     idx = start
     it = iter(sample_iter)
@@ -290,9 +297,15 @@ def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, p
         batch = prepare_records(
             chunk, pipe.parser, cfg, tokenizer=pipe.tokenizer
         )
-        pa, fa, pidx, fidx, pious, fious = step(
-            pipe.sam_params, pipe.clip_params, place_batch(batch, mesh)
-        )
+        if sticky:
+            ings = step(pipe.sam_params, pipe.clip_params, place_batch(batch, mesh))
+            pa, fa, pidx, fidx, pious, fious, state.k1, state.k2 = finalize_sticky(
+                cfg, ings, batch, state.k1, state.k2
+            )
+        else:
+            pa, fa, pidx, fidx, pious, fious = step(
+                pipe.sam_params, pipe.clip_params, place_batch(batch, mesh)
+            )
         state.pure = IoUAccum(*(a + float(b) for a, b in zip(state.pure, pa)))
         state.final = IoUAccum(*(a + float(b) for a, b in zip(state.final, fa)))
         pidx = np.asarray(pidx)

@@ -1,18 +1,23 @@
 """Full-parity multi-chip eval: the COMPLETE per-image pipeline (SAM
-proposals -> crops -> fusion -> text ensembles + negatives -> GEM heatmap ->
-box-relation guidance -> selection -> IoU) as one shard_map'd step over a
-('dp',) or ('dp','mp') mesh.
+proposals -> small-region cleanup -> crops -> fusion -> text ensembles +
+negatives -> GEM heatmap -> box-relation guidance -> selection -> IoU) as
+one shard_map'd step over a ('dp',) or ('dp','mp') mesh.
 
-Differences from the sequential driver (pipeline/runner.py):
+Parity with the sequential driver (pipeline/runner.py) is exact:
+
+  * the small-region cleanup runs ON DEVICE inside the step
+    (kernels/connected.py: label-propagation connected components +
+    dedup NMS), oracle-equal to the host cv2 pass;
+  * the reference's *sticky* k1/k2 clamp (Hybridgl_main.py:178-181) is an
+    inherently sequential global mutation, so with ``sticky=True`` the step
+    returns the per-sentence scoring INGREDIENTS (clip/neg/GEM score
+    vectors, boxes, per-proposal I/U tables) and ``finalize_sticky``
+    replays the selection in dataset order with the evolving clamp — the
+    replay is a handful of [P]-sized ops per sentence, so the heavy work
+    stays data-parallel while the semantics stay sequential;
   * sentences are padded to a static per-image bucket (``max_sentences``)
     with validity masking; expression parsing/tokenisation happens on the
-    host up front (ExpressionParser is pure python);
-  * the reference's *sticky* k1/k2 clamp is inherently a sequential global
-    mutation (Hybridgl_main.py:178-181) and cannot exist under data
-    parallelism; this path uses the non-sticky per-image clamp
-    (CompatConfig.k_clamp_sticky=False semantics);
-  * the host small-region cleanup is skipped (min_mask_region_area treated
-    as 0) — connected components has no jittable equivalent yet.
+    host up front (ExpressionParser is pure python).
 
 Collectives: psum of the four IoU scalars over dp (+ the fusion-stage
 all_gather over mp when enabled). Everything else is local.
@@ -29,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import PipelineConfig
 from ..eval.metrics import IoUAccum, mask_iou
+from ..kernels.connected import cleanup_proposals_jit
 from ..kernels.masks import box_xyxy_to_xywh
 from ..kernels.resize import (
     place_valid_region_antialias,
@@ -69,6 +75,19 @@ class FullEvalBatch(NamedTuple):
     black: jax.Array  # [B, S_max] f32
     has_other: jax.Array  # [B, S_max] bool
     sentence_valid: jax.Array  # [B, S_max] bool
+
+
+class Ingredients(NamedTuple):
+    """Everything ``finalize_sticky`` needs to replay the selection with
+    the sequential sticky clamp (per image, [S, P]-shaped score vectors)."""
+
+    num: jax.Array  # [] int32 live-proposal count (after cleanup)
+    score: jax.Array  # [S, P] f32 clip scores
+    score_neg: jax.Array  # [S, P]
+    gem_scores: jax.Array  # [S, P]
+    boxes_xywh: jax.Array  # [P, 4]
+    prop_valid: jax.Array  # [P] bool
+    iu: jax.Array  # [P, 3] f32: (I, U, IoU) of each proposal vs GT
 
 
 def prepare_records(
@@ -136,13 +155,24 @@ def prepare_records(
     return FullEvalBatch(**{k: np.stack(v) for k, v in arrays.items()})
 
 
-def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis):
+def _image_ingredients(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis) -> Ingredients:
+    """Proposals -> cleanup -> crops -> fusion -> per-sentence score
+    vectors + per-proposal IoU table for one image."""
     sam_cfg, clip_cfg = cfg.sam, cfg.clip
     C = cfg.canonical_size
     g = cfg.guidance
     props = generate_proposals(
         sam_params, rec.image_1024, rec.rh, rec.rw, rec.h, rec.w, sam_cfg, cfg.amg, C
     )
+    if cfg.amg.min_mask_region_area > 0:
+        # device-resident small-region cleanup (reference:
+        # automatic_mask_generator.py:166-171) — the round-1 DP gap
+        props = cleanup_proposals_jit(
+            props,
+            valid_mask((C, C), (rec.h, rec.w)),
+            cfg.amg.min_mask_region_area,
+            max(cfg.amg.box_nms_thresh, cfg.amg.crop_nms_thresh),
+        )
     masks = props.masks
     if mp_axis is not None:
         mp = jax.lax.axis_size(mp_axis)
@@ -181,21 +211,11 @@ def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis)
     )
     gem_grid = cfg.gem.img_size // clip_cfg.patch_size
 
-    num = props.num
-    k1 = jnp.minimum(jnp.asarray(g.k1), jnp.maximum(num, 1))
-    k2 = jnp.minimum(jnp.asarray(g.k2), jnp.maximum(num, 1))
-    boxes_xywh = box_xyxy_to_xywh(props.boxes_xyxy)
     vm = valid_mask((C, C), (rec.h, rec.w))
     ls = clip_params["logit_scale"]
 
-    pure_acc = IoUAccum.zeros()
-    final_acc = IoUAccum.zeros()
     S_max = rec.tokens_sentence.shape[0]
-    pure_idx = jnp.zeros((S_max,), jnp.int32)
-    final_idx = jnp.zeros((S_max,), jnp.int32)
-    pure_ious = jnp.zeros((S_max,), jnp.float32)
-    final_ious = jnp.zeros((S_max,), jnp.float32)
-
+    scores, scores_neg, gems = [], [], []
     for si in range(S_max):
         stacked = jnp.concatenate(
             [rec.tokens_sentence[si][None], rec.tokens_np[si][None], rec.tokens_others[si]],
@@ -220,13 +240,40 @@ def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis)
         heat448 = resize_bilinear(rel, (cfg.gem.img_size, cfg.gem.img_size))
         heat = place_valid_region_antialias(heat448, (C, C), (rec.h, rec.w))
         heat = normalize_heatmap(heat, vm, rec.dir_flag[si])
-        gem_scores = gem_mask_scores(heat, props.masks, vm, rec.black[si])
+        scores.append(score)
+        scores_neg.append(score_neg)
+        gems.append(gem_mask_scores(heat, props.masks, vm, rec.black[si]))
+
+    iu = jax.vmap(lambda m: jnp.stack(mask_iou(m, rec.gt_mask)))(props.masks)
+    return Ingredients(
+        num=props.num,
+        score=jnp.stack(scores),
+        score_neg=jnp.stack(scores_neg),
+        gem_scores=jnp.stack(gems),
+        boxes_xywh=box_xyxy_to_xywh(props.boxes_xyxy),
+        prop_valid=props.valid,
+        iu=iu,
+    )
+
+
+def _select_and_accumulate(ing: Ingredients, rec, cfg: PipelineConfig, k1, k2):
+    """Non-sticky in-step selection over one image's ingredients."""
+    g = cfg.guidance
+    S_max = ing.score.shape[0]
+    pure_acc = IoUAccum.zeros()
+    final_acc = IoUAccum.zeros()
+    pure_idx = jnp.zeros((S_max,), jnp.int32)
+    final_idx = jnp.zeros((S_max,), jnp.int32)
+    pure_ious = jnp.zeros((S_max,), jnp.float32)
+    final_ious = jnp.zeros((S_max,), jnp.float32)
+    num = ing.num
+    for si in range(S_max):
         sel = select_candidates(
-            score,
-            score_neg,
-            boxes_xywh,
-            gem_scores,
-            props.valid,
+            ing.score[si],
+            ing.score_neg[si],
+            ing.boxes_xywh,
+            ing.gem_scores[si],
+            ing.prop_valid,
             rec.rela_flag[si],
             rec.has_other[si],
             k1,
@@ -234,8 +281,8 @@ def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis)
             alpha=g.alpha,
         )
         enabled = rec.sentence_valid[si] & (num > 0)
-        pi, pu, pio = mask_iou(props.masks[sel.pure_index], rec.gt_mask)
-        fi, fu, fio = mask_iou(props.masks[sel.final_index], rec.gt_mask)
+        pi, pu, pio = ing.iu[sel.pure_index]
+        fi, fu, fio = ing.iu[sel.final_index]
         e = enabled.astype(jnp.float32)
         pure_acc = IoUAccum(
             pure_acc.cum_i + e * pi, pure_acc.cum_u + e * pu,
@@ -249,22 +296,43 @@ def _image_full_step(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis)
         final_idx = final_idx.at[si].set(jnp.where(enabled, sel.final_index, -1))
         pure_ious = pure_ious.at[si].set(e * pio)
         final_ious = final_ious.at[si].set(e * fio)
-
     return pure_acc, final_acc, pure_idx, final_idx, pure_ious, final_ious
 
 
 def build_full_eval_step(
-    cfg: PipelineConfig, mesh: Mesh, axis: str = "dp", mp_axis: str | None = None
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    axis: str = "dp",
+    mp_axis: str | None = None,
+    sticky: bool = False,
 ):
-    """jitted ``step(sam_params, clip_params, batch) -> (pure IoUAccum,
-    final IoUAccum, pure_idx [B,S], final_idx [B,S], pure_iou [B,S],
-    final_iou [B,S])`` with psum'd accums."""
+    """Non-sticky (default): jitted ``step(sam_params, clip_params, batch) ->
+    (pure IoUAccum, final IoUAccum, pure_idx [B,S], final_idx [B,S],
+    pure_iou [B,S], final_iou [B,S])`` with psum'd accums and the per-image
+    (non-sticky) k1/k2 clamp.
+
+    ``sticky=True``: the step returns the batch's ``Ingredients`` (leading
+    axis B); pass them to :func:`finalize_sticky` to replay the selection in
+    dataset order with the reference's sticky clamp — exact sequential-driver
+    parity under data parallelism."""
 
     def per_device(sam_params, clip_params, batch: FullEvalBatch):
+        if sticky:
+            def body(carry, rec):
+                return carry, _image_ingredients(sam_params, clip_params, rec, cfg, mp_axis)
+
+            _, ings = jax.lax.scan(body, (), batch)
+            return ings
+
+        g = cfg.guidance
+
         def body(carry, rec):
             pa, fa = carry
-            p_acc, f_acc, pidx, fidx, pious, fious = _image_full_step(
-                sam_params, clip_params, rec, cfg, mp_axis
+            ing = _image_ingredients(sam_params, clip_params, rec, cfg, mp_axis)
+            k1 = jnp.minimum(jnp.asarray(g.k1), jnp.maximum(ing.num, 1))
+            k2 = jnp.minimum(jnp.asarray(g.k2), jnp.maximum(ing.num, 1))
+            p_acc, f_acc, pidx, fidx, pious, fious = _select_and_accumulate(
+                ing, rec, cfg, k1, k2
             )
             pa = IoUAccum(*(a + b for a, b in zip(pa, p_acc)))
             fa = IoUAccum(*(a + b for a, b in zip(fa, f_acc)))
@@ -280,14 +348,97 @@ def build_full_eval_step(
     from jax.experimental.shard_map import shard_map
 
     specs = FullEvalBatch(*(P(axis) for _ in FullEvalBatch._fields))
+    if sticky:
+        out_specs = Ingredients(*(P(axis) for _ in Ingredients._fields))
+    else:
+        out_specs = (P(), P(), P(axis), P(axis), P(axis), P(axis))
     step = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), specs),
-        out_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=out_specs,
         check_rep=False,
     )
     return jax.jit(step)
+
+
+def finalize_sticky(
+    cfg: PipelineConfig,
+    ings: Ingredients,  # [B, ...] from a sticky step (device or host)
+    batch: FullEvalBatch,
+    k1: int,
+    k2: int,
+):
+    """Sequential replay of the selection with the reference's sticky k1/k2
+    clamp (Hybridgl_main.py:178-181): k only ever shrinks, in dataset order,
+    and zero-proposal images record a miss without clamping (matching
+    pipeline/runner.py's zero-proposal behaviour).
+
+    Returns (pure IoUAccum, final IoUAccum, pure_idx [B,S], final_idx [B,S],
+    pure_iou [B,S], final_iou [B,S], k1, k2) — accums/indices identical to a
+    sequential HybridGLPipeline run over the same samples in the same order.
+    """
+    g = cfg.guidance
+
+    @jax.jit
+    def sel_fn(score, score_neg, boxes, gems, valid, rf, ho, k1, k2):
+        return select_candidates(
+            score, score_neg, boxes, gems, valid, rf, ho, k1, k2, alpha=g.alpha
+        )
+
+    num = np.asarray(ings.num)
+    score = np.asarray(ings.score)
+    score_neg = np.asarray(ings.score_neg)
+    gems = np.asarray(ings.gem_scores)
+    boxes = np.asarray(ings.boxes_xywh)
+    valid = np.asarray(ings.prop_valid)
+    iu = np.asarray(ings.iu)
+    sent_valid = np.asarray(batch.sentence_valid)
+    rela = np.asarray(batch.rela_flag)
+    has_other = np.asarray(batch.has_other)
+    gt_area = np.asarray(batch.gt_mask).sum(axis=(-2, -1)).astype(np.float32)
+
+    B, S = sent_valid.shape
+    pure = IoUAccum(0.0, 0.0, 0.0, 0.0)
+    final = IoUAccum(0.0, 0.0, 0.0, 0.0)
+    pidx = -np.ones((B, S), np.int32)
+    fidx = -np.ones((B, S), np.int32)
+    pious = np.zeros((B, S), np.float32)
+    fious = np.zeros((B, S), np.float32)
+
+    def acc(a, i, u, io):
+        return IoUAccum(a.cum_i + i, a.cum_u + u, a.sum_iou + io, a.count + 1.0)
+
+    for b in range(B):
+        n = int(num[b])
+        if n == 0:
+            for si in range(S):
+                if not sent_valid[b, si]:
+                    continue
+                pure = acc(pure, 0.0, float(gt_area[b]), 0.0)
+                final = acc(final, 0.0, float(gt_area[b]), 0.0)
+            continue
+        if k1 > n:
+            k1 = n
+        if k2 > n:
+            k2 = n
+        for si in range(S):
+            if not sent_valid[b, si]:
+                continue
+            sel = sel_fn(
+                score[b, si], score_neg[b, si], boxes[b], gems[b, si],
+                valid[b], int(rela[b, si]), bool(has_other[b, si]), k1, k2,
+            )
+            pi = int(sel.pure_index)
+            fi = int(sel.final_index)
+            pidx[b, si] = pi
+            fidx[b, si] = fi
+            pious[b, si] = iu[b, pi, 2]
+            fious[b, si] = iu[b, fi, 2]
+            pure = acc(pure, float(iu[b, pi, 0]), float(iu[b, pi, 1]), float(iu[b, pi, 2]))
+            final = acc(final, float(iu[b, fi, 0]), float(iu[b, fi, 1]), float(iu[b, fi, 2]))
+
+    return pure, final, pidx, fidx, pious, fious, k1, k2
 
 
 def place_batch(batch: FullEvalBatch, mesh: Mesh, axis: str = "dp") -> FullEvalBatch:

@@ -95,3 +95,52 @@ def test_full_eval_2d_mesh(pipeline, cfg_no_cleanup):
     )
     np.testing.assert_allclose(float(pa2.cum_i), float(pa1.cum_i), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(fi2), np.asarray(fi1))
+
+
+def test_full_eval_sticky_cleanup_exact_parity(pipeline):
+    """--data_parallel with sticky=True + in-step cleanup must reproduce the
+    sequential driver EXACTLY: same sticky k trajectory, same per-sentence
+    selections and IoUs, same accumulators (the round-1 DP parity gap)."""
+    import dataclasses
+
+    from hybridgl_tpu.core.config import CompatConfig
+    from hybridgl_tpu.parallel.full_eval import finalize_sticky
+
+    cfg = pipeline.cfg.replace(
+        amg=dataclasses.replace(pipeline.cfg.amg, min_mask_region_area=6),
+        compat=CompatConfig(k_clamp_sticky=True),
+    )
+    parser = HeuristicParser()
+    tokenizer = FakeTokenizer()
+    seq_pipe = HybridGLPipeline(
+        cfg, pipeline.sam_params, pipeline.clip_params,
+        parser=parser, tokenizer=tokenizer,
+    )
+    rng = np.random.default_rng(21)
+    samples = [make_sample(rng, cfg.sam) for _ in range(4)]
+
+    state = seq_pipe.init_state()
+    seq_results = [
+        materialize_results(seq_pipe.run_image(s, state)) for s in samples
+    ]
+
+    batch = prepare_records(samples, parser, cfg, tokenizer=tokenizer, max_sentences=2)
+    mesh = make_mesh(4)
+    step = build_full_eval_step(cfg, mesh, sticky=True)
+    ings = step(seq_pipe.sam_params, seq_pipe.clip_params, place_batch(batch, mesh))
+    pa, fa, pidx, fidx, pious, fious, k1, k2 = finalize_sticky(
+        cfg, ings, batch, cfg.guidance.k1, cfg.guidance.k2
+    )
+
+    assert (k1, k2) == (state.k1, state.k2), "sticky clamp trajectory diverged"
+    assert int(pa.count) == int(state.pure.count)
+    np.testing.assert_allclose(float(pa.cum_i), float(state.pure.cum_i), rtol=1e-5)
+    np.testing.assert_allclose(float(pa.cum_u), float(state.pure.cum_u), rtol=1e-5)
+    np.testing.assert_allclose(float(fa.cum_i), float(state.final.cum_i), rtol=1e-5)
+    np.testing.assert_allclose(float(fa.sum_iou), float(state.final.sum_iou), rtol=1e-4)
+    for b, results in enumerate(seq_results):
+        for si, r in enumerate(results):
+            assert pidx[b, si] == r.pure_index, (b, si)
+            assert fidx[b, si] == r.final_index, (b, si)
+            assert abs(pious[b, si] - r.pure_iou) < 1e-5
+            assert abs(fious[b, si] - r.final_iou) < 1e-5
