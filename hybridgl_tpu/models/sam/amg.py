@@ -57,6 +57,11 @@ class Proposals(NamedTuple):
     areas: jax.Array  # [P] f32 (mask pixel count)
     valid: jax.Array  # [P] bool
     num: jax.Array  # scalar int32
+    # NMS survivors silently dropped by the static buckets (max_proposals /
+    # max_candidates_per_crop) — the reference keeps everything
+    # (reference: automatic_mask_generator.py:197-264), so a nonzero value
+    # means coverage loss the driver should warn about.
+    overflow: jax.Array = np.int32(0)
 
 
 def build_point_grid(n_per_side: int) -> np.ndarray:
@@ -210,6 +215,7 @@ def generate_proposals(
         areas=masks.sum(axis=(-2, -1)).astype(jnp.float32),
         valid=kept_valid,
         num=res.num_kept.astype(jnp.int32).clip(0, P),
+        overflow=jnp.maximum(res.num_kept.astype(jnp.int32) - P, 0),
     )
 
 
@@ -389,6 +395,7 @@ def generate_proposals_multicrop(
 
     # ---- pass 1 + per-crop NMS ------------------------------------------
     sel_boxes, sel_iou, sel_stab, sel_valid = [], [], [], []
+    overflow = jnp.asarray(0, jnp.int32)
     sel_crop_id, sel_cand_idx, sel_inv_area = [], [], []
     for crop_id, crop in enumerate(crops):
         iou_c, stab_c, boxes_c, valid_c, n_cand = _score_crop_candidates(
@@ -405,6 +412,7 @@ def generate_proposals_multicrop(
         )
         res = nms(boxes_c, iou_c, amg_cfg.box_nms_thresh, valid_c)
         kept_idx, kept_valid = kept_in_score_order(res, K)
+        overflow = overflow + jnp.maximum(res.num_kept.astype(jnp.int32) - K, 0)
         sel_boxes.append(boxes_c[kept_idx])
         sel_iou.append(iou_c[kept_idx] * kept_valid)
         sel_stab.append(stab_c[kept_idx] * kept_valid)
@@ -503,4 +511,5 @@ def generate_proposals_multicrop(
         areas=masks.sum(axis=(-2, -1)).astype(jnp.float32),
         valid=kept_valid,
         num=res.num_kept.astype(jnp.int32).clip(0, P),
+        overflow=overflow + jnp.maximum(res.num_kept.astype(jnp.int32) - P, 0),
     )

@@ -281,3 +281,42 @@ def test_multicrop_amg_matches_reference_flow(tiny):
         inter = (om & rm).sum()
         union = (om | rm).sum()
         assert union > 0 and inter / union > 0.95, (i, inter / union)
+
+
+def test_multicrop_overflow_counter(tiny):
+    """A too-small max_candidates_per_crop must be SURFACED, not silent
+    (the reference keeps every NMS survivor; our static bucket can't)."""
+    import dataclasses
+
+    cfg, params = tiny
+    rng = np.random.default_rng(6)
+    canonical = 32
+    h, w = 24, 32
+    rh, rw = 48, 64
+    img1024 = np.zeros((cfg.img_size, cfg.img_size, 3), np.uint8)
+    img1024[:rh, :rw] = rng.integers(0, 255, (rh, rw, 3), np.uint8)
+    imgc = np.zeros((canonical, canonical, 3), np.uint8)
+    imgc[:h, :w] = rng.integers(0, 255, (h, w, 3), np.uint8)
+
+    amg_tight = dataclasses.replace(
+        AMG_MC, max_candidates_per_crop=2, max_proposals=8,
+        box_nms_thresh=0.99,  # suppress almost nothing -> survivors > bucket
+    )
+    fn = jax.jit(
+        lambda p, a, b: generate_proposals_multicrop(
+            p, a, rh, rw, b, h, w, cfg, amg_tight, canonical
+        )
+    )
+    out = fn(params, jnp.asarray(img1024), jnp.asarray(imgc))
+    # thresholds are 0, so every grid point survives filtering; with K=2 the
+    # per-crop NMS must have dropped survivors and said so
+    assert int(out.overflow) > 0
+    # roomy buckets on the same image report less (usually zero) loss
+    amg_roomy = dataclasses.replace(amg_tight, max_candidates_per_crop=16, max_proposals=16)
+    fn2 = jax.jit(
+        lambda p, a, b: generate_proposals_multicrop(
+            p, a, rh, rw, b, h, w, cfg, amg_roomy, canonical
+        )
+    )
+    out2 = fn2(params, jnp.asarray(img1024), jnp.asarray(imgc))
+    assert int(out2.overflow) < int(out.overflow)
