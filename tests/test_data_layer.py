@@ -275,3 +275,28 @@ def test_indexed_prefetcher_order(refer_root):
             return i
 
     assert list(IndexedPrefetcher(Dummy(), workers=3, depth=3)) == list(range(7))
+
+
+def test_refer_dataset_prompt_ensemble_and_instance_gt(refer_root):
+    from hybridgl_tpu.data.datasets import ReferDataset
+
+    ds = ReferDataset(
+        refer_root, "refcoco", "unc", split="val",
+        sam_img_size=64, canonical=64,
+        prompt_ensemble=True, coco_instance_gt=True,
+    )
+    assert len(ds) == 1
+    ens = ds.ensemble_sentences(0)
+    assert len(ens) == 1  # one sentence
+    assert len(ens[0]) == len(ReferDataset.templates)
+    assert "the left square" in ens[0][0]
+    assert ens[0][0] != ens[0][1]  # distinct templates
+
+    inst = ds.instance_annotations(0)
+    # image 1 has exactly one annotation (the 20x20 polygon square)
+    assert len(inst["masks"]) == 1
+    assert inst["cat_names"] == ["square"]
+    m = inst["masks"][0]
+    assert m.shape == (48, 64)
+    assert m[10, 10] and not m[40, 60]
+    np.testing.assert_allclose(inst["boxes"][0], [5, 5, 20, 20])

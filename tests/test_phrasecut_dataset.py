@@ -55,3 +55,32 @@ def test_phrasecut_missing_image_raises(pc_root):
     ds.tasks.append({"image_id": 999, "phrase": "x", "Polygons": []})
     with pytest.raises(FileNotFoundError):
         ds[2]
+
+
+def test_phrasecut_seen_unseen_filtering(pc_root):
+    """seen/unseen COCO-class task filtering
+    (reference: data/dataset_phrasecut.py:65-68)."""
+    tasks = [
+        {"task_id": "1__1", "image_id": 123, "phrase": "the dog",
+         "phrase_structure": {"name": "dog"}, "Polygons": [[[[1, 1], [5, 1], [5, 5]]]]},
+        {"task_id": "1__2", "image_id": 123, "phrase": "a tree",
+         "phrase_structure": {"name": "tree"}, "Polygons": [[[[1, 1], [5, 1], [5, 5]]]]},
+        {"task_id": "1__3", "image_id": 123, "phrase": "mystery",
+         "Polygons": [[[[1, 1], [5, 1], [5, 5]]]]},  # no category info
+    ]
+    import os
+    with open(os.path.join(pc_root, "refer_modes.json"), "w") as f:
+        json.dump(tasks, f)
+
+    all_ds = PhraseCutDataset(pc_root, split="modes", sam_img_size=64, canonical=64)
+    assert [t["phrase"] for t in all_ds.tasks] == ["the dog", "a tree", "mystery"]
+
+    seen = PhraseCutDataset(pc_root, split="modes", sam_img_size=64, canonical=64, seen_mode=True)
+    assert [t["phrase"] for t in seen.tasks] == ["the dog"]
+
+    unseen = PhraseCutDataset(pc_root, split="modes", sam_img_size=64, canonical=64, unseen_mode=True)
+    assert [t["phrase"] for t in unseen.tasks] == ["a tree", "mystery"]
+
+    # both set: unseen wins (the reference's if/elif order)
+    both = PhraseCutDataset(pc_root, split="modes", sam_img_size=64, canonical=64, seen_mode=True, unseen_mode=True)
+    assert [t["phrase"] for t in both.tasks] == ["a tree", "mystery"]
