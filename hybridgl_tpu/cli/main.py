@@ -129,6 +129,9 @@ def build_config(args) -> PipelineConfig:
 def main(argv=None) -> None:
     args = default_argument_parser().parse_args(argv)
     assert args.eval_only, "Only eval_only available!"
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # warm restarts skip the ~90s stage compiles
     cfg = build_config(args)
     sam_params, clip_params = load_params(args, cfg)
     pipe = HybridGLPipeline(cfg, sam_params, clip_params)

@@ -345,7 +345,16 @@ def build_full_eval_step(
         fa = IoUAccum(*(jax.lax.psum(x, axis) for x in fa))
         return pa, fa, pidx, fidx, pious, fious
 
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 promotes shard_map out of experimental
+        from jax import shard_map as _sm
+
+        def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+            return _sm(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=check_rep,
+            )
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     specs = FullEvalBatch(*(P(axis) for _ in FullEvalBatch._fields))
     if sticky:

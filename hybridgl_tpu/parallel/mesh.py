@@ -171,7 +171,16 @@ def build_sharded_eval_step(
         acc = IoUAccum(*(jax.lax.psum(x, axis) for x in acc))
         return acc, sels
 
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 promotes shard_map out of experimental
+        from jax import shard_map as _sm
+
+        def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+            return _sm(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=check_rep,
+            )
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     batch_specs = EvalBatch(*(P(axis) for _ in EvalBatch._fields))
     step = shard_map(

@@ -31,3 +31,15 @@ def rng():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test (deselect with -m 'not slow')")
+    config.addinivalue_line(
+        "markers", "quick: fast tier (run with -m quick); auto-applied to non-slow tests"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # every test not explicitly marked slow belongs to the quick tier, so
+    # `pytest -m quick` is the fast pre-commit loop and the plain run stays
+    # the full battery
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -82,6 +82,7 @@ def torch_amg_oracle(model, cfg, image_u8, h, w, rh, rw, canonical):
     return binm[kept], boxes[kept], iou[kept], stab[kept]
 
 
+@pytest.mark.slow
 def test_amg_matches_reference_flow(tiny):
     model, cfg, params = tiny
     rng = np.random.default_rng(3)

@@ -74,6 +74,7 @@ AMG_MC = AmgConfig(
 )
 
 
+@pytest.mark.slow
 def test_multicrop_amg_runs_and_is_sane(tiny):
     cfg, params = tiny
     rng = np.random.default_rng(5)
@@ -204,6 +205,7 @@ def _torch_crop_candidates(model, cfg, crop_img_f32, ch, cw, crh, crw, grid01,
     return iou, stab, boxes, valid, binm
 
 
+@pytest.mark.slow
 def test_multicrop_amg_matches_reference_flow(tiny):
     import torch
     from torch_ref_sam import make_tiny_sam
@@ -283,6 +285,7 @@ def test_multicrop_amg_matches_reference_flow(tiny):
         assert union > 0 and inter / union > 0.95, (i, inter / union)
 
 
+@pytest.mark.slow
 def test_multicrop_overflow_counter(tiny):
     """A too-small max_candidates_per_crop must be SURFACED, not silent
     (the reference keeps every NMS survivor; our static bucket can't)."""

@@ -8,6 +8,8 @@ from hybridgl_tpu.cli.main import main as cli_main
 
 from test_data_layer import refer_root  # noqa: F401 (fixture)
 
+pytestmark = pytest.mark.slow  # whole-pipeline / mesh tests, ~30-70s each
+
 
 def test_cli_end_to_end(refer_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)

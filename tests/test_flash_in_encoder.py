@@ -18,6 +18,7 @@ def flash_env(monkeypatch):
     return set_flag
 
 
+@pytest.mark.slow
 def test_encoder_flash_matches_unfused(rng, flash_env):
     import jax
 

@@ -17,6 +17,8 @@ from hybridgl_tpu.pipeline.runner import HybridGLPipeline, materialize_results
 
 from test_pipeline_e2e import FakeTokenizer, make_sample, pipeline  # noqa: F401
 
+pytestmark = pytest.mark.slow  # whole-pipeline / mesh tests, ~30-70s each
+
 
 @pytest.fixture(scope="module")
 def cfg_no_cleanup(pipeline):

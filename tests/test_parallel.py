@@ -19,6 +19,8 @@ from hybridgl_tpu.parallel.mesh import (
 from torch_ref import tiny_clip_config
 from torch_ref_sam import tiny_sam_config
 
+pytestmark = pytest.mark.slow  # whole-pipeline / mesh tests, ~30-70s each
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg():

@@ -86,6 +86,7 @@ def make_sample(rng, sam_cfg, canonical=32, h=24, w=32):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_runs_and_accumulates(pipeline):
     rng = np.random.default_rng(0)
     state = pipeline.init_state()
@@ -117,6 +118,7 @@ def test_pipeline_sticky_k_clamp(pipeline):
     assert state.k1 <= k1_after
 
 
+@pytest.mark.slow
 def test_pipeline_multicrop_config():
     """Runner end-to-end through the multi-crop AMG path (PhraseCut-style)."""
     import jax

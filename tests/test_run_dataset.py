@@ -1,12 +1,14 @@
 """run_dataset (software-pipelined) must equal run_image image by image."""
 
 import numpy as np
+import pytest
 
 from hybridgl_tpu.pipeline.runner import HybridGLPipeline, materialize_results
 
 from test_pipeline_e2e import make_sample, pipeline  # noqa: F401  (fixture)
 
 
+@pytest.mark.slow
 def test_run_dataset_matches_run_image(pipeline: HybridGLPipeline):
     rng = np.random.default_rng(42)
     samples = [make_sample(rng, pipeline.cfg.sam) for _ in range(3)]
