@@ -59,12 +59,13 @@ def main():
         amg=AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0),
     )
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    sam_params = init_sam(k1, cfg.sam)
-    clip_params = init_clip(k2, cfg.clip)
-    # serve in bf16 (params); activations follow
+    # serve in bf16 (params); activations follow. Init + cast run as ONE
+    # jitted program each: eagerly they issue hundreds of tiny ops, and on
+    # the tunneled backend every tiny-op compile costs ~0.5 s.
     compute = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    sam_params = cast_pytree(sam_params, compute)
-    clip_params_c = cast_pytree(clip_params, compute)
+    sam_params = jax.jit(lambda k: cast_pytree(init_sam(k, cfg.sam), compute))(k1)
+    clip_params = jax.jit(lambda k: init_clip(k, cfg.clip))(k2)
+    clip_params_c = jax.jit(lambda p: cast_pytree(p, compute))(clip_params)
     clip_params_c["logit_scale"] = jnp.asarray(clip_params["logit_scale"], jnp.float32)
 
     class _Tok:

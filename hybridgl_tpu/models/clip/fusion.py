@@ -105,10 +105,39 @@ def hybrid_forward(
     last = last_layer_index(cfg)
     n_blocks = cfg.vision_layers
 
+    heads = cfg.vision_heads
+    stacked = p_visual.get("blocks_stacked")
+
+    def run_plain(x, start, stop, bias=None):
+        """Blocks [start, stop): scanned when stacked params are present."""
+        if stacked is not None:
+            from .layers import scan_blocks
+
+            return scan_blocks(stacked, x, heads, attn_bias=bias, start=start, stop=stop)
+        for i in range(start, stop):
+            x = vit_block(p_visual["blocks"][i], x, cfg, attn_bias=bias)
+        return x
+
+    def run_scan(carry, body, start, stop):
+        """Scan a multi-stream tail body over stacked blocks [start, stop);
+        falls back to the unrolled loop on list-format params."""
+        if stacked is not None:
+            import jax as _jax
+
+            sl = _jax.tree.map(lambda a: a[start:stop], stacked)
+            return _jax.lax.scan(lambda c, bp: (body(c, bp), None), carry, sl)[0]
+        for i in range(start, stop):
+            carry = body(carry, p_visual["blocks"][i])
+        return carry
+
+    def blk_fwd(bp, x, bias=None):
+        from .layers import residual_attention_block
+
+        return residual_attention_block(bp, x, heads, bias)
+
     if fusion_mode == "crop":
         x = vit_stem(p_visual, local_imgs, cfg)
-        for i in range(n_blocks):
-            x = vit_block(p_visual["blocks"][i], x, cfg)
+        x = run_plain(x, 0, n_blocks)
         return vit_head(p_visual, x, cfg)
 
     masks_grid = resize_masks_to_grid(pred_masks, cfg.grid, masks_hw)
@@ -116,21 +145,18 @@ def hybrid_forward(
     x = vit_stem(p_visual, local_imgs, cfg)
 
     if fusion_mode == "token_masking":
-        for i in range(mb):
-            x = vit_block(p_visual["blocks"][i], x, cfg)
+        x = run_plain(x, 0, mb)
         stop = last + 2  # blocks mb..11 inclusive; head taken at block 11
-        for i in range(mb, stop):
-            x = token_mask(x, masks_grid)
-            x = vit_block(p_visual["blocks"][i], x, cfg)
+        x = run_scan(
+            x, lambda h, bp: blk_fwd(bp, token_mask(h, masks_grid)), mb, stop
+        )
         return vit_head(p_visual, x, cfg)
 
     if fusion_mode == "attn_masking":
         bias = make_attn_bias(masks_grid)
-        for i in range(mb):
-            x = vit_block(p_visual["blocks"][i], x, cfg)
+        x = run_plain(x, 0, mb)
         stop = (last + 1) if compat.attn_masking_early_exit else (last + 2)
-        for i in range(mb, stop):
-            x = vit_block(p_visual["blocks"][i], x, cfg, attn_bias=bias)
+        x = run_plain(x, mb, stop, bias=bias)
         return vit_head(p_visual, x, cfg)
 
     # two-stream modes
@@ -140,38 +166,42 @@ def hybrid_forward(
     # shared trunk on the fused 2P batch (one resblock call per block)
     P = x.shape[0]
     xx = jnp.concatenate([x, x2], axis=0)
-    for i in range(mb):
-        xx = vit_block(p_visual["blocks"][i], xx, cfg)
+    xx = run_plain(xx, 0, mb)
     x, x2 = xx[:P], xx[P:]
 
     if fusion_mode == "L2G":
-        for i in range(mb, last + 2):
-            x_ori_local = x
-            x = vit_block(p_visual["blocks"][i], x, cfg)
-            x2 = vit_block(
-                p_visual["blocks"][i], x_ori_local + 2.0 * x2, cfg, attn_bias=bias
-            )
+
+        def l2g(carry, bp):
+            x, x2 = carry
+            return blk_fwd(bp, x), blk_fwd(bp, x + 2.0 * x2, bias)
+
+        x, x2 = run_scan((x, x2), l2g, mb, last + 2)
         return vit_head(p_visual, x2, cfg)
 
     if fusion_mode == "G2L":
-        for i in range(mb, last + 2):
+
+        def g2l(carry, bp):
+            x, x2 = carry
             x_ori_global = token_mask(x2, masks_grid)
-            x = vit_block(p_visual["blocks"][i], 2.0 * x_ori_global + x, cfg)
-            x2 = vit_block(p_visual["blocks"][i], x2, cfg, attn_bias=bias)
+            return blk_fwd(bp, 2.0 * x_ori_global + x), blk_fwd(bp, x2, bias)
+
+        x, x2 = run_scan((x, x2), g2l, mb, last + 2)
         return vit_head(p_visual, x, cfg)
 
     if fusion_mode == "G2L&L2G":
-        xh_local, xh_global = x, x2
-        for i in range(mb, last + 2):
+
+        def both(carry, bp):
+            x, x2, xh_local, xh_global = carry
             x_ori_local = x
             x_ori_global = token_mask(x2, masks_grid)
-            blk = p_visual["blocks"][i]
-            x = vit_block(blk, x, cfg)
-            x2 = vit_block(blk, x2, cfg, attn_bias=bias)
-            xh_local = vit_block(blk, xh_local + 2.0 * x_ori_global, cfg)
-            xh_global = vit_block(
-                blk, x_ori_local + 2.0 * xh_global, cfg, attn_bias=bias
+            return (
+                blk_fwd(bp, x),
+                blk_fwd(bp, x2, bias),
+                blk_fwd(bp, xh_local + 2.0 * x_ori_global),
+                blk_fwd(bp, x_ori_local + 2.0 * xh_global, bias),
             )
+
+        _, _, xh_local, xh_global = run_scan((x, x2, x, x2), both, mb, last + 2)
         return vit_head(p_visual, xh_local, cfg) + vit_head(p_visual, xh_global, cfg)
 
     raise ValueError(f"unknown fusion mode {fusion_mode!r}")

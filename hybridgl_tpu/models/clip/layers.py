@@ -99,3 +99,28 @@ def residual_attention_block(
     h = quick_gelu(h)
     h = linear(p["mlp_proj"], h)
     return x + h
+
+
+def stack_block_params(blocks):
+    """[per-block param dicts] -> one pytree with a leading depth axis.
+
+    Scan-ready weight layout: XLA streams one stacked buffer per weight via
+    double-buffered dynamic-slice instead of issuing a small DMA per block
+    per call, and the traced graph carries the block body once (see
+    models/sam/image_encoder.py:stack_encoder_runs for the measurements).
+    """
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def scan_blocks(stacked, x, num_heads, attn_bias=None, start=0, stop=None):
+    """Run blocks [start, stop) of a stacked pytree via lax.scan."""
+    import jax
+
+    sl = jax.tree.map(lambda a: a[start:stop], stacked)
+
+    def body(h, bp):
+        return residual_attention_block(bp, h, num_heads, attn_bias), None
+
+    return jax.lax.scan(body, x, sl)[0]

@@ -43,11 +43,16 @@ def encode_text(
     x = jnp.asarray(p["token_embedding"])[tokens].astype(dt)  # [N, 77, D]
     x = x + p["positional_embedding"].astype(dt)
     bias = causal_bias(cfg.context_length)
-    for i, blk in enumerate(p["blocks"]):
-        if masking_index is not None and i >= masking_block:
-            idx = jnp.asarray([j + 1 for j in masking_index], jnp.int32)
-            x = x.at[:, idx, :].set(0.0)
-        x = residual_attention_block(blk, x, cfg.text_heads, bias)
+    if masking_index is None and "blocks_stacked" in p:
+        from .layers import scan_blocks
+
+        x = scan_blocks(p["blocks_stacked"], x, cfg.text_heads, attn_bias=bias)
+    else:
+        for i, blk in enumerate(p["blocks"]):
+            if masking_index is not None and i >= masking_block:
+                idx = jnp.asarray([j + 1 for j in masking_index], jnp.int32)
+                x = x.at[:, idx, :].set(0.0)
+            x = residual_attention_block(blk, x, cfg.text_heads, bias)
     x = layer_norm(p["ln_final"], x)
     if target_noun_index is not None:
         pool = jnp.asarray(target_noun_index) + 1

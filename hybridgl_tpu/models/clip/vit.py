@@ -54,6 +54,10 @@ def vit_block(p_block, x, cfg: ClipConfig, attn_bias: Optional[jax.Array] = None
 
 def vit_blocks(p, x, cfg: ClipConfig, start: int = 0, stop: Optional[int] = None):
     stop = cfg.vision_layers if stop is None else stop
+    if "blocks_stacked" in p:
+        from .layers import scan_blocks
+
+        return scan_blocks(p["blocks_stacked"], x, cfg.vision_heads, start=start, stop=stop)
     for i in range(start, stop):
         x = vit_block(p["blocks"][i], x, cfg)
     return x

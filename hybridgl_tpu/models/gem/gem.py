@@ -137,14 +137,11 @@ def gem_image_features(
 
     n_blocks = clip_cfg.vision_layers
     gem_start = n_blocks - gem_cfg.depth
-    x_gem = None
-    for i in range(n_blocks):
-        blk = p_visual["blocks"][i]
+
+    def block_step(x, x_gem, blk, with_gem: bool):
         y = layer_norm(blk["ln_1"], x)
         q, k, v = _qkv(blk["attn"], y, H)
-        if i >= gem_start:
-            if x_gem is None:
-                x_gem = x
+        if with_gem:
             ss = self_self_attention(q, k, v, temp, gem_cfg.ss_attn_iters)
             ss = _merge_heads(ss)
             ss = ss @ blk["attn"]["out_w"].astype(dt) + blk["attn"]["out_b"].astype(dt)
@@ -156,7 +153,30 @@ def gem_image_features(
         h = layer_norm(blk["ln_2"], x)
         h = linear(blk["mlp_fc"], h)
         h = quick_gelu(h)
-        x = x + linear(blk["mlp_proj"], h)
+        return x + linear(blk["mlp_proj"], h), x_gem
+
+    stacked = p_visual.get("blocks_stacked")
+    if stacked is not None:
+        # scan-ready path (see clip/layers.py:stack_block_params): plain
+        # run to gem_start, then a (x, x_gem) carry over the gem range
+        def plain(h, bp):
+            return block_step(h, None, bp, False)[0], None
+
+        def gem_body(carry, bp):
+            return block_step(carry[0], carry[1], bp, True), None
+
+        pre = jax.tree.map(lambda a: a[:gem_start], stacked)
+        post = jax.tree.map(lambda a: a[gem_start:], stacked)
+        x = jax.lax.scan(plain, x, pre)[0]
+        (x, x_gem), _ = jax.lax.scan(gem_body, (x, x), post)
+    else:
+        x_gem = None
+        for i in range(n_blocks):
+            if i >= gem_start and x_gem is None:
+                x_gem = x
+            x, x_gem = block_step(
+                x, x_gem, p_visual["blocks"][i], i >= gem_start
+            )
 
     gem_feats = layer_norm(p_visual["ln_post"], x_gem) @ p_visual["proj"].astype(dt)
     cls_feats = layer_norm(p_visual["ln_post"], x[:, :1])[:, 0] @ p_visual["proj"].astype(dt)

@@ -202,6 +202,54 @@ def encoder_block(p, x: jax.Array, cfg: SamConfig, window: int) -> jax.Array:
     return x + _mlp(p, _ln(p["ln_2"], x))
 
 
+def window_runs(cfg: SamConfig):
+    """Static block schedule: maximal runs of consecutive windowed blocks
+    plus the interleaved global blocks, e.g. ViT-H -> [(win, 0..6),
+    (global, 7), (win, 8..14), ...]."""
+    runs = []
+    cur = []
+    for i in range(cfg.encoder_depth):
+        if i in cfg.encoder_global_idx:
+            if cur:
+                runs.append(("win", cur))
+                cur = []
+            runs.append(("global", [i]))
+        else:
+            cur.append(i)
+    if cur:
+        runs.append(("win", cur))
+    return runs
+
+
+def stack_encoder_runs(sam_params, cfg: SamConfig):
+    """Convert the public list-of-blocks encoder param format into the
+    scan-ready run format: each windowed run's blocks stacked along a
+    leading axis (``block_runs``), global blocks kept as-is.
+
+    Why: with ~500 separate per-block weight buffers XLA issues a small
+    async copy/slice DMA per weight per block per call — a device trace
+    showed copy-start/slice-start at ~360 ms/call vs ~120 ms of actual
+    compute. Scanning over ONE stacked buffer per run turns those into a
+    double-buffered dynamic-slice stream (the canonical TPU weight layout)
+    and shrinks the traced graph ~8x (compile time). Call once at pipeline
+    construction; ``encode_image`` accepts both formats.
+    """
+    enc = dict(sam_params["encoder"])
+    blocks = enc.pop("blocks")
+    rps = []
+    for kind, idxs in window_runs(cfg):
+        if len(idxs) == 1:
+            rps.append(blocks[idxs[0]])
+        else:
+            rps.append(
+                jax.tree.map(lambda *xs: jnp.stack(xs), *[blocks[i] for i in idxs])
+            )
+    enc["block_runs"] = rps
+    out = dict(sam_params)
+    out["encoder"] = enc
+    return out
+
+
 def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
     """images: [N, 1024, 1024, 3] preprocessed -> [N, 64, 64, prompt_dim].
 
@@ -223,9 +271,34 @@ def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
     ).astype(dt) + p["patch_embed"]["b"].astype(dt)
     x = x + p["pos_embed"].astype(dt)
 
-    for i in range(cfg.encoder_depth):
-        window = 0 if i in cfg.encoder_global_idx else cfg.window_size
-        x = encoder_block(p["blocks"][i], x, cfg, window)
+    runs = window_runs(cfg)
+    if "block_runs" in p:
+        run_params = p["block_runs"]
+    else:
+        # public list format: stack windowed runs at trace time (adds one
+        # in-call device copy of the run's weights; prefer pre-stacking
+        # via stack_encoder_runs for serving)
+        run_params = [
+            p["blocks"][idxs[0]]
+            if len(idxs) == 1
+            else jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[p["blocks"][i] for i in idxs]
+            )
+            for _, idxs in runs
+        ]
+    for (kind, idxs), rp in zip(runs, run_params):
+        if kind == "global":
+            x = encoder_block(rp, x, cfg, 0)
+        elif len(idxs) == 1:
+            x = encoder_block(rp, x, cfg, cfg.window_size)
+        else:
+            # one scanned body serves the whole windowed run: weights
+            # stream via double-buffered dynamic-slice instead of per-block
+            # copies, and the graph carries the body once
+            def body(h, bp):
+                return encoder_block(bp, h, cfg, cfg.window_size), None
+
+            x, _ = jax.lax.scan(body, x, rp)
 
     # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (image_encoder.py:88-104)
     x = jax.lax.conv_general_dilated(

@@ -158,34 +158,52 @@ def postprocess_small_regions(
     new_masks = masks.copy()
     changed_flags = np.zeros(len(masks), bool)
     new_boxes = {}
+    new_areas = {}
     H, W = masks.shape[-2:]
     if hw is not None:
         H, W = int(hw[0]), int(hw[1])  # crops clip to the true image extent
-    for i in range(n):
-        if not valid[i]:
-            continue
-        # Connected components only need the mask's bounding box plus a
-        # 1-px background ring: every enclosed background region (hole)
-        # lies inside the bbox, every island is a mask pixel (inside the
-        # bbox by definition), and any background region touching the bbox
-        # edge connects to the ring exactly like it connects to the global
-        # background. Identical classification, ~10x fewer pixels.
-        bx0, by0, bx1, by1 = (int(v) for v in boxes[i])
-        y0 = max(by0 - 1, 0)
-        x0 = max(bx0 - 1, 0)
-        y1 = min(by1 + 2, H)
-        x1 = min(bx1 + 2, W)
-        ring = (by0 >= 1, by1 + 2 <= H, bx0 >= 1, bx1 + 2 <= W)
-        crop = masks[i, y0:y1, x0:x1]
-        c2, ch1 = _remove_small_holes_crop(crop, min_area, ring)
-        c2, ch2 = remove_small_regions(c2, min_area, "islands")
-        changed = ch1 or ch2
-        if changed:
-            new_masks[i, y0:y1, x0:x1] = c2
-            # the cleaned mask lives inside the crop, so its box does too
-            cb = _np_box(c2)
-            new_boxes[i] = cb + np.array([x0, y0, x0, y0], np.float32)
-        changed_flags[i] = changed
+
+    # Native fast path: one C call does both union-find labelings per mask
+    # in place on the strided crop windows (native/region_cleanup.cpp);
+    # ~4x the cv2 path on this single-core host. Same crop-window + ring
+    # semantics; oracle-diffed in tests/test_postprocess_native.py.
+    process = valid & (np.arange(len(masks)) < n)
+    from . import postprocess_native
+
+    nat = postprocess_native.cleanup_batch(
+        new_masks, boxes, process, (H, W), min_area
+    )
+    if nat is not None:
+        changed_flags, nat_boxes, nat_areas = nat
+        for i in np.nonzero(changed_flags)[0]:
+            new_boxes[i] = nat_boxes[i]
+            new_areas[i] = nat_areas[i]
+    else:
+        for i in range(n):
+            if not valid[i]:
+                continue
+            # Connected components only need the mask's bounding box plus a
+            # 1-px background ring: every enclosed background region (hole)
+            # lies inside the bbox, every island is a mask pixel (inside the
+            # bbox by definition), and any background region touching the bbox
+            # edge connects to the ring exactly like it connects to the global
+            # background. Identical classification, ~10x fewer pixels.
+            bx0, by0, bx1, by1 = (int(v) for v in boxes[i])
+            y0 = max(by0 - 1, 0)
+            x0 = max(bx0 - 1, 0)
+            y1 = min(by1 + 2, H)
+            x1 = min(bx1 + 2, W)
+            ring = (by0 >= 1, by1 + 2 <= H, bx0 >= 1, bx1 + 2 <= W)
+            crop = masks[i, y0:y1, x0:x1]
+            c2, ch1 = _remove_small_holes_crop(crop, min_area, ring)
+            c2, ch2 = remove_small_regions(c2, min_area, "islands")
+            changed = ch1 or ch2
+            if changed:
+                new_masks[i, y0:y1, x0:x1] = c2
+                # the cleaned mask lives inside the crop, so its box does too
+                cb = _np_box(c2)
+                new_boxes[i] = cb + np.array([x0, y0, x0, y0], np.float32)
+            changed_flags[i] = changed
 
     idx = [i for i in range(n) if valid[i]]
     nms_boxes = np.stack(
@@ -204,7 +222,16 @@ def postprocess_small_regions(
         elif changed_flags[i]:
             boxes[i] = nms_boxes[pos]
 
-    areas = new_masks.sum(axis=(-2, -1)).astype(np.float32)
+    if nat is not None:
+        # incremental areas (skip a full [P, H, W] reduction): unchanged
+        # masks keep their AMG-computed pixel count, changed ones take the
+        # count from the native pass, suppressed ones drop to zero
+        areas = np.asarray(props.areas, np.float32).copy()
+        for i, a in new_areas.items():
+            areas[i] = a
+        areas[~valid] = 0.0
+    else:
+        areas = new_masks.sum(axis=(-2, -1)).astype(np.float32)
     if return_changed:
         return _rebuild(props, new_masks, boxes, valid, areas), True
     return _rebuild(props, new_masks, boxes, valid, areas)

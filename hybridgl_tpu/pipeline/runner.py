@@ -101,6 +101,18 @@ class HybridGLPipeline:
         tokenizer: Optional[tok.ClipTokenizer] = None,
     ):
         self.cfg = cfg
+        if "blocks" in sam_params.get("encoder", {}):
+            # pre-stack the encoder blocks for the scan path (see
+            # models/sam/image_encoder.py:stack_encoder_runs) — one-time
+            # device copy at construction, removes per-call restacking
+            from ..models.sam.image_encoder import stack_encoder_runs
+
+            # one jitted program (eager stacking would issue ~64 tiny ops,
+            # each a ~0.5 s compile on the tunneled backend)
+            sam_params = jax.jit(lambda p: stack_encoder_runs(p, cfg.sam))(
+                sam_params
+            )
+        clip_params = jax.jit(_stack_clip_params)(clip_params)
         self.sam_params = sam_params
         self.clip_params = clip_params
         self.parser = parser or get_parser(
@@ -117,14 +129,72 @@ class HybridGLPipeline:
         sam_cfg, clip_cfg = cfg.sam, cfg.clip
         C = cfg.canonical_size
 
+        # Small-region cleanup placement. HYBRIDGL_CLEANUP=device folds the
+        # jittable connected-components pass (kernels/connected.py, exact
+        # parity per tests/test_connected.py) into the proposal dispatch —
+        # required inside shard_map (parallel/full_eval.py) but measured
+        # 7.8 s/img on v5e for dense random masks (the min-label
+        # propagation's flat gathers and the size histogram's scatter-add
+        # serialise on TPU), so the sequential driver defaults to the host
+        # cv2 pass (~540 ms/img worst-case, overlapped by the software
+        # pipeline; see bench BENCH_PROFILE attribution).
+        self._device_cleanup = (
+            cfg.amg.min_mask_region_area > 0
+            and os.environ.get("HYBRIDGL_CLEANUP", "host") == "device"
+        )
+        device_cleanup = self._device_cleanup
+
         def proposal_stage(sam_params, image_1024, rh, rw, image_c, h, w):
             if cfg.amg.crop_n_layers >= 1:
-                return generate_proposals_multicrop(
+                props = generate_proposals_multicrop(
                     sam_params, image_1024, rh, rw, image_c, h, w, sam_cfg, cfg.amg, C
                 )
-            return generate_proposals(
-                sam_params, image_1024, rh, rw, h, w, sam_cfg, cfg.amg, C
+            else:
+                props = generate_proposals(
+                    sam_params, image_1024, rh, rw, h, w, sam_cfg, cfg.amg, C
+                )
+            if device_cleanup:
+                from ..kernels.connected import cleanup_proposals_jit
+
+                props = cleanup_proposals_jit(
+                    props,
+                    valid_mask((C, C), (h, w)),
+                    cfg.amg.min_mask_region_area,
+                    max(cfg.amg.box_nms_thresh, cfg.amg.crop_nms_thresh),
+                )
+            # Pre-pack the masks for the host cleanup INSIDE this dispatch:
+            # a packbits issued later (from _cleanup_host) would enqueue
+            # BEHIND the next image's already-dispatched proposal stage on
+            # the in-order TPU stream, stalling the host ~400 ms per image
+            # before its cleanup could even start (measured; this was the
+            # round-1 overlap killer).
+            packed = aux = None
+            if cfg.amg.min_mask_region_area > 0 and not device_cleanup:
+                packed = jnp.packbits(props.masks, axis=-1)
+                # the small per-proposal fields the host cleanup needs, as
+                # ONE f32 buffer (separate np.asarray reads would each pay
+                # the ~36 ms tunnel round-trip)
+                aux = jnp.concatenate(
+                    [
+                        props.boxes_xyxy.astype(jnp.float32).ravel(),
+                        props.iou_preds.astype(jnp.float32),
+                        props.stability.astype(jnp.float32),
+                        props.points.astype(jnp.float32).ravel(),
+                        props.areas.astype(jnp.float32),
+                    ]
+                )
+            # One tiny [2+P] download replaces three separate host reads
+            # (num, overflow, valid): every synchronous device read costs a
+            # full tunnel round-trip (~36 ms measured), so scalars are
+            # batched into a single buffer fetched once per image.
+            meta = jnp.concatenate(
+                [
+                    jnp.reshape(props.num, (1,)).astype(jnp.int32),
+                    jnp.reshape(props.overflow, (1,)).astype(jnp.int32),
+                    props.valid.astype(jnp.int32),
+                ]
             )
+            return props, packed, aux, meta
 
         def feature_stage(clip_params, props, image_c, h, w):
             glob, local = build_crops(
@@ -235,9 +305,38 @@ class HybridGLPipeline:
             final_iu = mask_iou(props.masks[sel.final_index], gt_mask)
             return sel, score, pure_iu, final_iu
 
+        def sentence_stage_accum(
+            clip_params, props, feats, gem_pf, h, w,
+            toks_sentence, toks_np, toks_others, n_others,
+            dir_flag, rela_flag, black, has_other, k1, k2, gt_mask,
+            pure_acc, final_acc, acc_enable,
+        ):
+            """Sentence stage + in-dispatch metric accumulation: the
+            accumulators ride along as device-resident args, so updating
+            them costs zero extra dispatches (the reference reads IoU back
+            per sentence; separate host-side accumulate ops each paid ~4 ms
+            of tunnel dispatch latency)."""
+            sel, score, pure_iu, final_iu = sentence_stage(
+                clip_params, props, feats, gem_pf, h, w,
+                toks_sentence, toks_np, toks_others, n_others,
+                dir_flag, rela_flag, black, has_other, k1, k2, gt_mask,
+            )
+            e = jnp.asarray(acc_enable, jnp.float32)
+
+            def upd(acc, iu):
+                i, u, iou = iu
+                return IoUAccum(
+                    acc.cum_i + e * i,
+                    acc.cum_u + e * u,
+                    acc.sum_iou + e * iou,
+                    acc.count + e,
+                )
+
+            return sel, score, pure_iu, final_iu, upd(pure_acc, pure_iu), upd(final_acc, final_iu)
+
         self._proposal_stage = jax.jit(proposal_stage)
         self._feature_stage = jax.jit(feature_stage)
-        self._sentence_stage = jax.jit(sentence_stage)
+        self._sentence_stage = jax.jit(sentence_stage_accum)
         # optional: all sentences of an image in ONE dispatch (shared inputs
         # broadcast, per-sentence inputs vmapped). Halves the serialized
         # stage cost but measured slower end-to-end on v5e — see
@@ -254,8 +353,8 @@ class HybridGLPipeline:
         return PipelineState(
             k1=self.cfg.guidance.k1,
             k2=self.cfg.guidance.k2,
-            pure=IoUAccum(0.0, 0.0, 0.0, 0.0),
-            final=IoUAccum(0.0, 0.0, 0.0, 0.0),
+            pure=IoUAccum.zeros(),
+            final=IoUAccum.zeros(),
         )
 
     def _tokenize_parsed(self, parsed: ParsedExpression):
@@ -283,24 +382,29 @@ class HybridGLPipeline:
         (reference: automatic_mask_generator.py:166-171 applies it whenever
         min_mask_region_area > 0 — true for both driver configs)."""
         with self._span("proposals"):
-            props = self._dispatch_proposals(sample)
-        return self._finish_props(props, (sample.h, sample.w))
+            props, packed, aux, meta = self._dispatch_proposals(sample)
+        return self._finish_props(props, packed, aux, meta, (sample.h, sample.w))
 
-    def _cleanup_host(self, props: Proposals, hw) -> Proposals:
+    def _cleanup_host(self, props: Proposals, hw, packed, aux) -> Proposals:
         """Host small-region cleanup with bit-packed mask transfers:
         [P, C, C] bool moves as packed uint8 (8x less host<->device
-        traffic — the dominant cost of this stage on tunneled TPUs)."""
+        traffic — the dominant cost of this stage on tunneled TPUs).
+        ``packed`` and ``aux`` were produced inside the proposal dispatch
+        and async-copied at dispatch time (see proposal_stage /
+        _dispatch_proposals), so neither transfer queues behind the next
+        image's device work nor pays a per-field round-trip."""
         C = self.cfg.canonical_size
-        packed = np.asarray(jnp.packbits(props.masks, axis=-1))
-        masks_np = np.unpackbits(packed, axis=-1, count=C).astype(bool)
+        P = int(props.masks.shape[0])
+        masks_np = np.unpackbits(np.asarray(packed), axis=-1, count=C).astype(bool)
+        a = np.asarray(aux)
         host_props = Proposals(
             masks=masks_np,
-            boxes_xyxy=np.asarray(props.boxes_xyxy),
-            iou_preds=np.asarray(props.iou_preds),
-            stability=np.asarray(props.stability),
-            points=np.asarray(props.points),
-            areas=np.asarray(props.areas),
-            valid=np.asarray(props.valid),
+            boxes_xyxy=a[: P * 4].reshape(P, 4),
+            iou_preds=a[P * 4 : P * 5],
+            stability=a[P * 5 : P * 6],
+            points=a[P * 6 : P * 8].reshape(P, 2),
+            areas=a[P * 8 : P * 9],
+            valid=np.asarray(props.valid),  # numpy already (from meta)
             num=np.asarray(props.num),
             overflow=props.overflow,
         )
@@ -318,17 +422,10 @@ class HybridGLPipeline:
         dev_masks = jnp.unpackbits(
             jnp.asarray(np.packbits(out.masks, axis=-1)), axis=-1, count=C
         ).astype(bool)
-        return Proposals(
-            masks=dev_masks,
-            boxes_xyxy=jnp.asarray(out.boxes_xyxy),
-            iou_preds=jnp.asarray(out.iou_preds),
-            stability=jnp.asarray(out.stability),
-            points=jnp.asarray(out.points),
-            areas=jnp.asarray(out.areas),
-            valid=jnp.asarray(out.valid),
-            num=jnp.asarray(out.num),
-            overflow=props.overflow,
-        )
+        # small fields stay numpy: jit re-uploads them per call (cheap on
+        # the fast host->device direction) and the host never needs another
+        # synchronous read for num/valid
+        return out._replace(masks=dev_masks, overflow=props.overflow)
 
     def _span(self, name: str):
         import contextlib
@@ -338,8 +435,14 @@ class HybridGLPipeline:
         return self.timer.span(name)
 
     def _dispatch_proposals(self, sample: ImageSample):
-        """Async-dispatch the proposal stage (device work starts now)."""
-        return self._proposal_stage(
+        """Async-dispatch the proposal stage (device work starts now).
+
+        The packed-mask and meta outputs start copying to the host as soon
+        as the device produces them (``copy_to_host_async``): the tunnel's
+        device->host path is slow (~13 MB/s measured vs ~390 MB/s up), so
+        the 3.3 MB packed transfer must overlap the next stages' compute
+        rather than stall the host when cleanup finally asks for it."""
+        props, packed, aux, meta = self._proposal_stage(
             self.sam_params,
             jnp.asarray(sample.image_1024),
             sample.rh,
@@ -348,13 +451,28 @@ class HybridGLPipeline:
             sample.h,
             sample.w,
         )
+        for buf in (packed, aux, meta):
+            if buf is not None:
+                try:
+                    buf.copy_to_host_async()
+                except Exception:
+                    pass  # platforms without async host copies
+        return props, packed, aux, meta
 
-    def _finish_props(self, props: Proposals, hw) -> Proposals:
+    def _finish_props(self, props: Proposals, packed, aux, meta, hw) -> Proposals:
+        # One host read covers num + overflow + valid (see proposal_stage);
+        # the values replace the device scalars in the bundle so later
+        # stages never pay another synchronous tunnel round-trip for them.
+        meta_np = np.asarray(meta)
+        overflow = int(meta_np[1])
+        props = props._replace(
+            num=meta_np[0].astype(np.int32),
+            valid=meta_np[2:].astype(bool),
+        )
         # Surface static-bucket truncation: the reference keeps every NMS
         # survivor (automatic_mask_generator.py:197-264); if our
         # max_proposals / max_candidates_per_crop buckets dropped any,
         # coverage silently shrank — warn once with the configured knobs.
-        overflow = int(props.overflow)
         if overflow > 0 and not self._warned_overflow:
             import warnings
 
@@ -366,10 +484,10 @@ class HybridGLPipeline:
                 "raise the buckets to keep reference-parity coverage",
                 stacklevel=2,
             )
-        if self.cfg.amg.min_mask_region_area > 0:
+        if self.cfg.amg.min_mask_region_area > 0 and not self._device_cleanup:
             with self._span("small_region_cleanup"):
                 if int(props.num) > 0:
-                    props = self._cleanup_host(props, hw)
+                    props = self._cleanup_host(props, hw, packed, aux)
         return props
 
     def run_dataset(self, samples, state: PipelineState, yield_props: bool = False):
@@ -379,19 +497,19 @@ class HybridGLPipeline:
         (sample, results) pairs — or (sample, results, proposals) with
         ``yield_props`` (for visualisation) — and mutates ``state``.
         """
-        pending = None  # (sample, in-flight device proposals)
+        pending = None  # (sample, in-flight proposals, packed, aux, meta)
 
-        def emit(smp, raw_props):
-            props = self._finish_props(raw_props, (smp.h, smp.w))
+        def emit(smp, raw_props, packed, aux, meta):
+            props = self._finish_props(raw_props, packed, aux, meta, (smp.h, smp.w))
             results = self._score_image(smp, props, state)
             return (smp, results, props) if yield_props else (smp, results)
 
         for sample in samples:
             with self._span("proposals_dispatch"):
-                props_next = self._dispatch_proposals(sample)
+                pending_next = (sample, *self._dispatch_proposals(sample))
             if pending is not None:
                 yield emit(*pending)
-            pending = (sample, props_next)
+            pending = pending_next
         if pending is not None:
             yield emit(*pending)
 
@@ -401,6 +519,9 @@ class HybridGLPipeline:
         """Process one image; mutates ``state`` accumulators (host loop)."""
         props = self.propose(sample)
         return self._score_image(sample, props, state)
+
+    # (proposal dispatches return (props, packed-mask) pairs; see
+    # proposal_stage for why packing happens inside the jit)
 
     def _bucket_props(self, props: Proposals, num_props: int) -> Proposals:
         """Slice the proposal bundle to the smallest power-of-two bucket
@@ -505,34 +626,37 @@ class HybridGLPipeline:
             return self._sentences_batched(sample, props, feats, gem_pf, rows, k1, k2, gt, state)
 
         results = []
+        has_gt = sample.gt_mask is not None
         for sentence, row in zip(sample.sentences, rows):
             toks_s, toks_np_, toks_o, n_others, dflag, rflag, black, has_other = row
             with self._span("sentence_stage"):
-                sel, score, pure_iu, final_iu = self._sentence_stage(
-                    self.clip_params,
-                    props,
-                    feats,
-                    gem_pf,
-                    sample.h,
-                    sample.w,
-                    jnp.asarray(toks_s),
-                    jnp.asarray(toks_np_),
-                    jnp.asarray(toks_o),
-                    n_others,
-                    dflag,
-                    rflag,
-                    black,
-                    has_other,
-                    k1,
-                    k2,
-                    gt,
+                # metric accumulators ride along inside the dispatch (zero
+                # extra device ops; see sentence_stage_accum) — reading
+                # state later forces the only sync
+                sel, score, pure_iu, final_iu, state.pure, state.final = (
+                    self._sentence_stage(
+                        self.clip_params,
+                        props,
+                        feats,
+                        gem_pf,
+                        sample.h,
+                        sample.w,
+                        jnp.asarray(toks_s),
+                        jnp.asarray(toks_np_),
+                        jnp.asarray(toks_o),
+                        n_others,
+                        dflag,
+                        rflag,
+                        black,
+                        has_other,
+                        k1,
+                        k2,
+                        gt,
+                        state.pure,
+                        state.final,
+                        has_gt,
+                    )
                 )
-            if sample.gt_mask is not None:
-                # async device accumulation — reading state later forces the
-                # sync; never block per sentence (tunnel round-trips are the
-                # throughput killer)
-                state.pure = _accumulate(state.pure, pure_iu)
-                state.final = _accumulate(state.final, final_iu)
             results.append(
                 SentenceResult(
                     sentence,
@@ -604,6 +728,24 @@ def materialize_results(results: List[SentenceResult]) -> List[SentenceResult]:
         )
         for r in results
     ]
+
+
+def _stack_clip_params(clip_params):
+    """Stack the CLIP visual/text transformer blocks for the scan paths
+    (models/clip/layers.py:stack_block_params); the per-block lists are
+    dropped from the runtime pytree so each dispatch marshals ~24 arg
+    buffers instead of ~400. ModifiedResNet visuals pass through."""
+    from ..models.clip.layers import stack_block_params
+
+    cp = dict(clip_params)
+    vis = dict(cp["visual"])
+    if "blocks" in vis and "class_embedding" in vis:
+        vis["blocks_stacked"] = stack_block_params(vis.pop("blocks"))
+    txt = dict(cp["text"])
+    if "blocks" in txt:
+        txt["blocks_stacked"] = stack_block_params(txt.pop("blocks"))
+    cp["visual"], cp["text"] = vis, txt
+    return cp
 
 
 def _accumulate(acc: IoUAccum, iu) -> IoUAccum:

@@ -29,7 +29,10 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache everything that took meaningful compile time, however small
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERYTHING: on the tunneled TPU backend even a scalar multiply
+    # costs ~0.5 s to compile (remote compile service round-trip), so the
+    # default thresholds would skip exactly the ops that dominate cold
+    # start (hundreds of tiny param-init/cast ops)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return path
