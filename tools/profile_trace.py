@@ -33,7 +33,14 @@ def capture(out_dir: str, sam_model: str):
         amg=AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0),
     )
     sam_cfg = cfg.sam
-    params = cast_pytree(init_sam(jax.random.PRNGKey(0), sam_cfg), jnp.bfloat16)
+    from hybridgl_tpu.models.sam.image_encoder import stack_encoder_runs
+
+    # pre-stacked scan layout — what the pipeline actually serves
+    params = jax.jit(
+        lambda k: stack_encoder_runs(
+            cast_pytree(init_sam(k, sam_cfg), jnp.bfloat16), sam_cfg
+        )
+    )(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     S, C = sam_cfg.img_size, cfg.canonical_size
     rh, rw, h, w = 768, 1024, 480, 640
