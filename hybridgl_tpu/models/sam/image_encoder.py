@@ -70,19 +70,18 @@ def decomposed_rel_pos_bias(q: jax.Array, rel_pos_h, rel_pos_w, size: int):
 
 
 def use_flash_attention() -> bool:
-    """Pallas flash attention for the 4096-token global blocks, opt-in via
-    $HYBRIDGL_FLASH=1.
+    """Pallas flash attention for the 4096-token global blocks; opt OUT
+    via $HYBRIDGL_FLASH=0.
 
-    Default is OFF: on v5e the XLA-fused bf16 attention currently wins
-    end-to-end for the 4096-token blocks (full-pipeline bench: 1.33 img/s
-    unfused vs 1.25 with the kernel at block_q=256/block_k=512, 1.01 at
-    512/512) — the [S, S] score tensor fits HBM comfortably and XLA's
-    fusion+pipelining beats the kernel's tiling at this length. The kernel
-    stays available (and tested) as the basis for longer-sequence models
-    and further tile tuning.
+    Default is ON (round 2): isolated back-to-back measurement on v5e has
+    the kernel at ~12 ms vs ~23 ms for the 4 global blocks against even
+    the factored-view XLA attention (round 1's e2e A/B that kept it off —
+    1.33 vs 1.25 img/s — predates the factored view and was within the
+    tunnel's noise band). Only engages for size >= 32, so the 14x14
+    windowed blocks and tiny test configs keep the XLA path.
     """
     env = os.environ.get("HYBRIDGL_FLASH")
-    return env is not None and env not in ("0", "false", "off")
+    return env is None or env not in ("0", "false", "off")
 
 
 def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
