@@ -21,7 +21,10 @@ Inputs are 448^2 (``GemConfig.img_size``) with the 224-pretrained
 positional embedding bilinearly interpolated to the larger grid.
 
 NOTE: validated numerically against an independent torch restatement of
-the paper (tests/torch_ref_gem.py, 2e-4 agreement); exact parity with the
+the paper (tests/torch_ref_gem.py, 2e-4 agreement) AND against
+restatement-independent mechanism invariants (tests/test_gem_invariants.py:
+permutation equivariance, q/k stream symmetry, per-token scale invariance,
+identity/temperature limits, convex-hull bounds); exact parity with the
 gem-torch pip package itself still requires an environment that has it
 (docs/ACCURACY_VALIDATION.md section 5).
 """

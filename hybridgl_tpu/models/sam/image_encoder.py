@@ -10,9 +10,13 @@ TPU structure notes:
   * everything is NHWC (conv-friendly on TPU);
   * windowed attention reshapes to one [B*25, 196, D] batch -> a single
     fused MXU batch per block instead of per-window loops;
-  * the decomposed rel-pos bias is materialised per (q,k) tile via two
-    einsums (Pallas flash-attention variant in kernels/flash_attention.py
-    folds it into the tile loop for the 4096-token global blocks).
+  * block weights are served STACKED (stack_encoder_runs) and consumed by
+    lax.scan — one streamed buffer per weight instead of ~500 per-block
+    DMAs per call (docs/DESIGN.md "Weight layout");
+  * attention scores live in the factored (qh, qw, kh, kw) view so the
+    decomposed rel-pos adds never force an [S, S] relayout copy; the
+    4096-token global blocks default to the Pallas flash kernel
+    (kernels/flash_attention.py) which folds the bias into its tile loop.
 """
 
 from __future__ import annotations
