@@ -51,13 +51,19 @@ def main():
     # thresholds, which would silently skip the scoring stages. Zeroed
     # thresholds keep the full pipeline (NMS -> cleanup -> fusion ->
     # sentence scoring) on the measured path with a realistic proposal load.
-    from hybridgl_tpu.core.config import AmgConfig
+    from hybridgl_tpu.core.config import AMG_PHRASECUT, AmgConfig
 
-    cfg = PipelineConfig(
-        sam_model=sam_model,
-        fusion_mode="G2L",
-        amg=AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0),
-    )
+    # BENCH_MULTICROP=1 measures the PhraseCut config instead (pps=64,
+    # crop_n_layers=1 -> 5-crop AMG; reference: Hybridgl_main_PhraseCut.py)
+    if os.environ.get("BENCH_MULTICROP"):
+        import dataclasses
+
+        amg = dataclasses.replace(
+            AMG_PHRASECUT, pred_iou_thresh=0.0, stability_score_thresh=0.0
+        )
+    else:
+        amg = AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0)
+    cfg = PipelineConfig(sam_model=sam_model, fusion_mode="G2L", amg=amg)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     # serve in bf16 (params); activations follow. Init + cast run as ONE
     # jitted program each: eagerly they issue hundreds of tiny ops, and on

@@ -136,18 +136,15 @@ def generate_proposals(
     cache_low_res = n_cand_total * 256 * 256 * 4 <= 256 * 1024 * 1024
 
     # ---- pass 1: score all candidates, keep only per-candidate scalars ----
-    all_iou, all_stab, all_boxes, all_valid = [], [], [], []
-    all_low_res = []
-    for ci in range(chunks.shape[0]):
-        pts01 = jnp.asarray(chunks[ci])  # [B, 2]
+    # scanned over point chunks so the [B*M, canonical^2] logits transient
+    # exists once regardless of points_per_side (see _score_crop_candidates)
+    def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]  # [B, 1, 2]
         labels = jnp.ones((B, 1), jnp.float32)
         low_res, iou_preds = predict_points(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
         )  # [B, 3, 256, 256], [B, 3]
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        if cache_low_res:
-            all_low_res.append(flat)
         logits = _canonical_logits(flat, rh, rw, h, w, sam_cfg, canonical)
         stab = stability_score(
             logits, sam_cfg.mask_threshold, amg_cfg.stability_score_offset
@@ -166,15 +163,18 @@ def generate_proposals(
         img_box = jnp.stack([jnp.float32(0), jnp.float32(0), wf, hf])
         valid &= ~box_near_crop_edge(boxes, img_box, img_box)
         valid &= masks.any(axis=(-2, -1))  # drop empty masks
-        all_iou.append(iou_preds.reshape(-1))
-        all_stab.append(stab)
-        all_boxes.append(boxes)
-        all_valid.append(valid)
+        outs = (iou_preds.reshape(-1), stab, boxes, valid)
+        if cache_low_res:
+            outs = outs + (flat,)
+        return None, outs
 
-    iou_all = jnp.concatenate(all_iou)  # [n_cand]
-    stab_all = jnp.concatenate(all_stab)
-    boxes_all = jnp.concatenate(all_boxes)
-    valid_all = jnp.concatenate(all_valid)
+    _, scanned = jax.lax.scan(chunk_body, None, jnp.asarray(chunks))
+    iou_all = scanned[0].reshape(-1)  # [n_cand]
+    stab_all = scanned[1].reshape(-1)
+    boxes_all = scanned[2].reshape(-1, 4)
+    valid_all = scanned[3].reshape(-1)
+    if cache_low_res:
+        all_low_res = [scanned[4].reshape((-1,) + scanned[4].shape[-2:])]
     # mask off padded grid points
     n_cand = chunks.shape[0] * B * M
     point_idx = jnp.arange(n_cand) // M
@@ -278,9 +278,12 @@ def _score_crop_candidates(
         [x0f, y0f, x0f + jnp.asarray(cw, jnp.float32), y0f + jnp.asarray(ch, jnp.float32)]
     )
 
-    all_iou, all_stab, all_boxes, all_valid = [], [], [], []
-    for ci in range(chunks.shape[0]):
-        pts01 = jnp.asarray(chunks[ci])
+    # lax.scan over the point chunks: the per-chunk transients (the
+    # [B*M, 1024, 1024] upscaled logits, ~800 MB f32 at B=64) exist once
+    # instead of once per unrolled chunk — at pps=64 x 5 crops the
+    # unrolled form exceeded HBM by 70 GB at compile time — and the graph
+    # carries the decode body once per crop instead of once per chunk.
+    def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]
         labels = jnp.ones((B, 1), jnp.float32)
         low_res, iou_preds = predict_points(
@@ -306,18 +309,18 @@ def _score_crop_candidates(
             valid &= stab >= amg_cfg.stability_score_thresh
         valid &= ~box_near_crop_edge(boxes, crop_box, img_box)
         valid &= masks.any(axis=(-2, -1))
-        all_iou.append(iou_preds.reshape(-1))
-        all_stab.append(stab)
-        all_boxes.append(boxes)
-        all_valid.append(valid)
+        return None, (iou_preds.reshape(-1), stab, boxes, valid)
 
+    _, (iou_s, stab_s, boxes_s, valid_s) = jax.lax.scan(
+        chunk_body, None, jnp.asarray(chunks)
+    )
     n_cand = chunks.shape[0] * B * M
     point_idx = jnp.arange(n_cand) // M
-    valid_all = jnp.concatenate(all_valid) & (point_idx < n_points)
+    valid_all = valid_s.reshape(-1) & (point_idx < n_points)
     return (
-        jnp.concatenate(all_iou),
-        jnp.concatenate(all_stab),
-        jnp.concatenate(all_boxes),
+        iou_s.reshape(-1),
+        stab_s.reshape(-1),
+        boxes_s.reshape(-1, 4),
         valid_all,
         n_cand,
     )
