@@ -43,7 +43,8 @@ def main():
     os.environ.setdefault("HYBRIDGL_NO_BUCKETING", "1")
     n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
     n_iter = int(os.environ.get("BENCH_ITERS", "8"))
-    n_reps = int(os.environ.get("BENCH_REPS", "5"))
+    n_reps = int(os.environ.get("BENCH_REPS", "7"))  # median-of-7: the
+    # shared tunnel's health swings both across and within runs
     sam_model = os.environ.get("BENCH_SAM", "vit_h")
     sentences_per_image = float(os.environ.get("BENCH_SENTENCES", "2"))
 
@@ -55,14 +56,16 @@ def main():
 
     # BENCH_MULTICROP=1 measures the PhraseCut config instead (pps=64,
     # crop_n_layers=1 -> 5-crop AMG; reference: Hybridgl_main_PhraseCut.py)
-    if os.environ.get("BENCH_MULTICROP"):
-        import dataclasses
+    import dataclasses
 
+    if os.environ.get("BENCH_MULTICROP"):
         amg = dataclasses.replace(
             AMG_PHRASECUT, pred_iou_thresh=0.0, stability_score_thresh=0.0
         )
     else:
         amg = AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0)
+    if os.environ.get("BENCH_PPB"):  # decode batch A/B (result-invariant)
+        amg = dataclasses.replace(amg, points_per_batch=int(os.environ["BENCH_PPB"]))
     cfg = PipelineConfig(sam_model=sam_model, fusion_mode="G2L", amg=amg)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     # serve in bf16 (params); activations follow. Init + cast run as ONE
