@@ -442,12 +442,21 @@ class HybridGLPipeline:
         device->host path is slow (~13 MB/s measured vs ~390 MB/s up), so
         the 3.3 MB packed transfer must overlap the next stages' compute
         rather than stall the host when cleanup finally asks for it."""
+        image_c = jnp.asarray(sample.image_canonical)
+        # cache the canonical-frame upload keyed on the sample (2-deep:
+        # the software pipeline dispatches image i+1 before scoring image
+        # i): the feature stage reuses the same device buffer instead of
+        # re-uploading ~1.2 MB over the tunnel
+        cache = getattr(self, "_image_c_cache", {})
+        cache = {k: v for k, v in list(cache.items())[-1:]}
+        cache[id(sample)] = image_c
+        self._image_c_cache = cache
         props, packed, aux, meta = self._proposal_stage(
             self.sam_params,
             jnp.asarray(sample.image_1024),
             sample.rh,
             sample.rw,
-            jnp.asarray(sample.image_canonical),
+            image_c,
             sample.h,
             sample.w,
         )
@@ -570,11 +579,14 @@ class HybridGLPipeline:
             return out
 
         props = self._bucket_props(props, num_props)
+        image_c = getattr(self, "_image_c_cache", {}).get(id(sample))
+        if image_c is None:
+            image_c = jnp.asarray(sample.image_canonical)
         with self._span("crops+fusion"):
             feats, gem_pf = self._feature_stage(
                 self.clip_params,
                 props,
-                jnp.asarray(sample.image_canonical),
+                image_c,
                 sample.h,
                 sample.w,
             )
