@@ -50,12 +50,10 @@ def softmax_scores(attn: jax.Array) -> jax.Array:
 def softmax_scores2(attn: jax.Array) -> jax.Array:
     """softmax_scores over the LAST TWO axes jointly — for score tensors
     kept in their factored (…, kh, kw) view so no [S, S] relayout copy is
-    ever materialised (the key-position axis is simply split in two)."""
+    ever materialised (the key-position axis is simply split in two).
+    One formula serves both dtypes: the f32 accumulation and converts are
+    no-ops for f32 inputs."""
     ax = (-2, -1)
-    if attn.dtype == jnp.float32:
-        m = jax.lax.stop_gradient(attn.max(axis=ax, keepdims=True))
-        e = jnp.exp(attn - m)
-        return e / e.sum(axis=ax, keepdims=True)
     m = jax.lax.stop_gradient(attn.max(axis=ax, keepdims=True))
     e = jnp.exp(attn - m)
     s = e.sum(axis=ax, keepdims=True, dtype=jnp.float32)

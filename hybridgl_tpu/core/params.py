@@ -263,3 +263,15 @@ def cast_pytree(tree, dtype):
 
 def param_count(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def stack_block_params(blocks):
+    """[per-block param dicts] -> one pytree with a leading depth axis.
+
+    The canonical scan-ready weight layout (docs/DESIGN.md "Weight
+    layout"): XLA streams one stacked buffer per weight via
+    double-buffered dynamic-slice instead of a small DMA per block per
+    call. Consumers: clip/layers.py:scan_blocks,
+    sam/image_encoder.py:stack_encoder_runs.
+    """
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)

@@ -102,16 +102,11 @@ def residual_attention_block(
 
 
 def stack_block_params(blocks):
-    """[per-block param dicts] -> one pytree with a leading depth axis.
+    """Scan-ready stacked weight layout; canonical implementation in
+    core/params.py (re-exported here for the CLIP-side consumers)."""
+    from ...core.params import stack_block_params as _impl
 
-    Scan-ready weight layout: XLA streams one stacked buffer per weight via
-    double-buffered dynamic-slice instead of issuing a small DMA per block
-    per call, and the traced graph carries the block body once (see
-    models/sam/image_encoder.py:stack_encoder_runs for the measurements).
-    """
-    import jax
-
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return _impl(blocks)
 
 
 def scan_blocks(stacked, x, num_heads, attn_bias=None, start=0, stop=None):

@@ -48,7 +48,13 @@ def encode_text(
 
         x = scan_blocks(p["blocks_stacked"], x, cfg.text_heads, attn_bias=bias)
     else:
-        for i, blk in enumerate(p["blocks"]):
+        if "blocks" in p:
+            blocks = p["blocks"]
+        else:  # stacked-only params (the pipeline's serving pytree)
+            st = p["blocks_stacked"]
+            n = jax.tree.leaves(st)[0].shape[0]
+            blocks = [jax.tree.map(lambda a: a[i], st) for i in range(n)]
+        for i, blk in enumerate(blocks):
             if masking_index is not None and i >= masking_block:
                 idx = jnp.asarray([j + 1 for j in masking_index], jnp.int32)
                 x = x.at[:, idx, :].set(0.0)

@@ -85,7 +85,7 @@ def use_flash_attention() -> bool:
     windowed blocks and tiny test configs keep the XLA path.
     """
     env = os.environ.get("HYBRIDGL_FLASH")
-    return env is None or env not in ("0", "false", "off")
+    return env is None or env.lower() not in ("0", "false", "off")
 
 
 def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
@@ -247,9 +247,9 @@ def stack_encoder_runs(sam_params, cfg: SamConfig):
         if len(idxs) == 1:
             rps.append(blocks[idxs[0]])
         else:
-            rps.append(
-                jax.tree.map(lambda *xs: jnp.stack(xs), *[blocks[i] for i in idxs])
-            )
+            from ...core.params import stack_block_params
+
+            rps.append(stack_block_params([blocks[i] for i in idxs]))
     enc["block_runs"] = rps
     out = dict(sam_params)
     out["encoder"] = enc
@@ -284,12 +284,12 @@ def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
         # public list format: stack windowed runs at trace time (adds one
         # in-call device copy of the run's weights; prefer pre-stacking
         # via stack_encoder_runs for serving)
+        from ...core.params import stack_block_params
+
         run_params = [
             p["blocks"][idxs[0]]
             if len(idxs) == 1
-            else jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[p["blocks"][i] for i in idxs]
-            )
+            else stack_block_params([p["blocks"][i] for i in idxs])
             for _, idxs in runs
         ]
     for (kind, idxs), rp in zip(runs, run_params):

@@ -205,8 +205,12 @@ int64_t region_cleanup_batch(uint8_t* masks, int64_t P, int64_t H, int64_t W,
         ch2 = true;  // flagged even when the result is identical
         int32_t keep_only = -1;
         if (!any_kept) {
-          // all small: keep the largest; ties go to the smallest root id
-          // (raster-first, matching np.argmax over cv2 labels)
+          // All small: keep the largest; ties go to the smallest root id
+          // (raster-first — DETERMINISTIC, unlike the cv2 path, whose
+          // np.argmax winner depends on cv2's implementation-defined BBDT
+          // label order; the reference inherits the same arbitrariness.
+          // Pinned by tests/test_postprocess_native.py:
+          // test_allsmall_tie_native_rule.)
           int64_t best = -1;
           for (size_t r = 0; r < uf.parent.size(); ++r) {
             if (uf.parent[r] != static_cast<int32_t>(r) || uf.size[r] == 0)

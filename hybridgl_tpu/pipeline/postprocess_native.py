@@ -6,6 +6,12 @@ call handles the whole proposal bundle (two union-find labelings per mask,
 in place on the strided crop windows) instead of 2 cv2 calls plus ~6 numpy
 passes per mask. Falls back to the cv2 path when no toolchain is present.
 
+Byte-identical to the cv2 path except one documented corner: when the
+all-small islands fallback has a TIED max size, the native pass keeps the
+raster-first tied component deterministically, while cv2's np.argmax
+winner depends on cv2's implementation-defined label order (the reference
+inherits the same arbitrariness). See tests/test_postprocess_native.py.
+
 Reference semantics: automatic_mask_generator.py:323-372 +
 utils/amg.py:267-291 (see postprocess.py for the crop-window argument).
 """

@@ -107,12 +107,26 @@ class HybridGLPipeline:
             # device copy at construction, removes per-call restacking
             from ..models.sam.image_encoder import stack_encoder_runs
 
-            # one jitted program (eager stacking would issue ~64 tiny ops,
-            # each a ~0.5 s compile on the tunneled backend)
-            sam_params = jax.jit(lambda p: stack_encoder_runs(p, cfg.sam))(
-                sam_params
-            )
-        clip_params = jax.jit(_stack_clip_params)(clip_params)
+            # One jitted program (eager stacking would issue ~64 tiny ops,
+            # each a ~0.5 s compile on the tunneled backend). The input is
+            # DONATED: without it the ViT-H list-format weights (~1.2 GB
+            # bf16) would stay resident next to the stacked copy for the
+            # whole run — callers must not reuse the param pytrees they
+            # hand to the pipeline (read them back via pipe.sam_params /
+            # pipe.clip_params). Donation is a no-op on CPU.
+            import warnings
+
+            with warnings.catch_warnings():
+                # CPU ignores donation ("donated buffers were not usable")
+                warnings.filterwarnings("ignore", message=".*donated buffers.*")
+                sam_params = jax.jit(
+                    lambda p: stack_encoder_runs(p, cfg.sam), donate_argnums=0
+                )(sam_params)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore", message=".*donated buffers.*")
+            clip_params = jax.jit(_stack_clip_params, donate_argnums=0)(clip_params)
         self.sam_params = sam_params
         self.clip_params = clip_params
         self.parser = parser or get_parser(

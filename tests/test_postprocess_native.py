@@ -10,9 +10,29 @@ utils/amg.py:267-291)."""
 import numpy as np
 import pytest
 
+cv2 = pytest.importorskip("cv2")  # the oracle leg IS the cv2 path
+
 from hybridgl_tpu.models.sam.amg import Proposals
 from hybridgl_tpu.pipeline import postprocess_native
-from hybridgl_tpu.pipeline.postprocess import postprocess_small_regions
+from hybridgl_tpu.pipeline.postprocess import (
+    postprocess_small_regions,
+    remove_small_regions,
+)
+
+
+def _has_allsmall_tie(mask: np.ndarray, min_area: int) -> bool:
+    """True when the islands pass would hit the all-small fallback with a
+    TIED max size. cv2's component label order is implementation-defined
+    (BBDT renumbering), so np.argmax's tie winner differs from the native
+    union-find's raster-first rule — the reference itself inherits cv2's
+    arbitrary choice here, so the oracle only compares tie-free inputs
+    (see test_allsmall_tie_native_rule for the pinned native behavior)."""
+    filled, _ = remove_small_regions(mask.copy(), min_area, "holes")
+    n, _, stats, _ = cv2.connectedComponentsWithStats(filled.astype(np.uint8), 8)
+    sizes = stats[1:, -1]
+    if len(sizes) == 0 or (sizes >= min_area).any():
+        return False
+    return (sizes == sizes.max()).sum() > 1
 
 def _native_available():
     import os
@@ -112,18 +132,45 @@ def test_random_masks(monkeypatch, min_area):
     C, h, w = 128, 100, 120
     masks = []
     for d in (0.3, 0.5, 0.7):
-        m = np.zeros((C, C), bool)
-        m[:h, :w] = rng.random((h, w)) > d
+        while True:
+            m = np.zeros((C, C), bool)
+            m[:h, :w] = rng.random((h, w)) > d
+            if not _has_allsmall_tie(m, min_area):
+                break
         masks.append(m)
     # blobby masks (closer to real proposals)
-    for _ in range(3):
+    added = 0
+    while added < 3:
         m = np.zeros((C, C), bool)
         y, x = rng.integers(0, h - 30), rng.integers(0, w - 30)
         m[y : y + 30, x : x + 30] = rng.random((30, 30)) > 0.2
+        if _has_allsmall_tie(m, min_area):
+            continue
         masks.append(m)
+        added += 1
     props = _bundle(masks, 8, C)
     got, want = _run_both(props, min_area, 0.7, (h, w), monkeypatch)
     _assert_equal(got, want)
+
+
+def test_allsmall_tie_native_rule(monkeypatch):
+    """When every island is small and the max size ties, the native pass
+    deterministically keeps the raster-FIRST tied component (smallest
+    union-find root). cv2's winner is implementation-defined, so this is
+    pinned as native-only behavior rather than oracle-diffed."""
+    C = 64
+    m = np.zeros((C, C), bool)
+    m[10:12, 10:12] = True  # 4 px, first in raster order
+    m[40:42, 40:42] = True  # 4 px tie
+    props = _bundle([m], 4, C)
+    monkeypatch.setenv("HYBRIDGL_FORCE_NATIVE_CLEANUP", "1")
+    monkeypatch.setattr(postprocess_native, "_lib", None)
+    monkeypatch.setattr(postprocess_native, "_tried", False)
+    out = postprocess_small_regions(props, 5, 0.7, hw=(C, C))
+    monkeypatch.setattr(postprocess_native, "_lib", None)
+    monkeypatch.setattr(postprocess_native, "_tried", False)
+    got = np.asarray(out.masks[0])
+    assert got[10:12, 10:12].all() and not got[40:42, 40:42].any()
 
 
 def test_no_change_short_circuit(monkeypatch):

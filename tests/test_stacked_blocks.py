@@ -63,6 +63,19 @@ def test_text_stacked_equals_list(tiny, rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
 
 
+def test_text_masking_index_works_on_stacked_only_params(tiny, rng):
+    """The pipeline's serving pytree drops the per-block list; the
+    masking_index branch must reconstruct blocks from the stacked pytree
+    (regression: KeyError 'blocks')."""
+    cfg, params, stacked = tiny
+    txt_stacked_only = {k: v for k, v in stacked["text"].items() if k != "blocks"}
+    toks = jnp.asarray(rng.integers(1, cfg.vocab_size - 2, (2, cfg.context_length)), jnp.int32)
+    toks = toks.at[:, -1].set(cfg.vocab_size - 1)
+    a = encode_text(params["text"], toks, cfg, masking_index=[1], masking_block=1)
+    b = encode_text(txt_stacked_only, toks, cfg, masking_index=[1], masking_block=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+
 def test_gem_stacked_equals_list(tiny, rng):
     cfg, params, stacked = tiny
     gem_cfg = GemConfig(img_size=cfg.image_size * 2, depth=2, ss_attn_iters=1)
