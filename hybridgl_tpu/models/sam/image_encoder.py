@@ -92,10 +92,14 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
     """Windowed/global attention over an [B, S, S, D] tile with rel-pos."""
     B = x.shape[0]
     D = x.shape[-1]
-    hd = D // num_heads
     tokens = x.reshape(B, size * size, D)
     qkv = tokens @ p_attn["qkv_w"].astype(x.dtype) + p_attn["qkv_b"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    # attention width from the qkv projection, not the input: under tensor
+    # parallelism (parallel/encoder_tp.py) qkv_w maps D -> 3*(D/mp) for
+    # this shard's head group; Da == D in the unsharded case
+    Da = qkv.shape[-1] // 3
+    hd = Da // num_heads
 
     def heads(t):
         return t.reshape(B, size * size, num_heads, hd).transpose(0, 2, 1, 3)
@@ -158,7 +162,7 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
             "bnhwHW,bnHWc->bnhwc", attn6, v6, preferred_element_type=jnp.float32
         ).reshape(B, num_heads, size * size, hd)
 
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, size * size, D)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, size * size, Da)
     out = out @ p_attn["proj_w"].astype(x.dtype) + p_attn["proj_b"].astype(x.dtype)
     return out.reshape(B, size, size, D)
 
