@@ -108,25 +108,16 @@ class HybridGLPipeline:
             from ..models.sam.image_encoder import stack_encoder_runs
 
             # One jitted program (eager stacking would issue ~64 tiny ops,
-            # each a ~0.5 s compile on the tunneled backend). The input is
-            # DONATED: without it the ViT-H list-format weights (~1.2 GB
-            # bf16) would stay resident next to the stacked copy for the
-            # whole run — callers must not reuse the param pytrees they
-            # hand to the pipeline (read them back via pipe.sam_params /
-            # pipe.clip_params). Donation is a no-op on CPU.
-            import warnings
-
-            with warnings.catch_warnings():
-                # CPU ignores donation ("donated buffers were not usable")
-                warnings.filterwarnings("ignore", message=".*donated buffers.*")
-                sam_params = jax.jit(
-                    lambda p: stack_encoder_runs(p, cfg.sam), donate_argnums=0
-                )(sam_params)
-        import warnings
-
-        with warnings.catch_warnings():
-            warnings.filterwarnings("ignore", message=".*donated buffers.*")
-            clip_params = jax.jit(_stack_clip_params, donate_argnums=0)(clip_params)
+            # each a ~0.5 s compile on the tunneled backend). NOT donated:
+            # donation would delete the caller's param pytree, and passing
+            # params to a constructor must not consume them (our own eval
+            # tests legitimately reuse params across pipelines). The
+            # list-format copy (~1.2 GB ViT-H bf16) stays alive only while
+            # the caller holds it — `del` it for tight-memory serving.
+            sam_params = jax.jit(lambda p: stack_encoder_runs(p, cfg.sam))(
+                sam_params
+            )
+        clip_params = jax.jit(_stack_clip_params)(clip_params)
         self.sam_params = sam_params
         self.clip_params = clip_params
         self.parser = parser or get_parser(
