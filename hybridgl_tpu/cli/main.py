@@ -297,8 +297,16 @@ def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, p
         real = len(chunk)
         while len(chunk) < D:  # pad the tail chunk with inert copies
             chunk.append(chunk[-1]._replace(sentences=[]))
+        # sentence bucket: power-of-two >= the chunk's true max (min 4) —
+        # nothing truncated (refs can carry 5+ sentences; a fixed cap
+        # would silently diverge from the sequential driver) while jit
+        # specialisations stay bounded to a few bucket sizes
+        ms = max((len(c.sentences) for c in chunk), default=1) or 1
+        bucket = 4
+        while bucket < ms:
+            bucket *= 2
         batch = prepare_records(
-            chunk, pipe.parser, cfg, tokenizer=pipe.tokenizer
+            chunk, pipe.parser, cfg, tokenizer=pipe.tokenizer, max_sentences=bucket
         )
         if sticky:
             ings = step(pipe.sam_params, pipe.clip_params, place_batch(batch, mesh))

@@ -36,25 +36,20 @@ def score_dtype(activation_dtype):
     return activation_dtype
 
 
-def softmax_scores(attn: jax.Array) -> jax.Array:
-    """Numerically-stable softmax that tolerates bf16 scores: max-shift and
-    exp in the score dtype, denominator accumulated in f32."""
-    if attn.dtype == jnp.float32:
-        return jax.nn.softmax(attn, axis=-1)
-    m = jax.lax.stop_gradient(attn.max(axis=-1, keepdims=True))
+def softmax_scores(attn: jax.Array, axes=(-1,)) -> jax.Array:
+    """Numerically-stable softmax over ``axes`` (jointly) that tolerates
+    bf16 scores: max-shift and exp in the score dtype, denominator
+    accumulated in f32 (the accumulation and converts are no-ops for f32
+    inputs)."""
+    ax = tuple(axes)
+    m = jax.lax.stop_gradient(attn.max(axis=ax, keepdims=True))
     e = jnp.exp(attn - m)
-    s = e.sum(axis=-1, keepdims=True, dtype=jnp.float32)
+    s = e.sum(axis=ax, keepdims=True, dtype=jnp.float32)
     return (e.astype(jnp.float32) / s).astype(attn.dtype)
 
 
 def softmax_scores2(attn: jax.Array) -> jax.Array:
     """softmax_scores over the LAST TWO axes jointly — for score tensors
     kept in their factored (…, kh, kw) view so no [S, S] relayout copy is
-    ever materialised (the key-position axis is simply split in two).
-    One formula serves both dtypes: the f32 accumulation and converts are
-    no-ops for f32 inputs."""
-    ax = (-2, -1)
-    m = jax.lax.stop_gradient(attn.max(axis=ax, keepdims=True))
-    e = jnp.exp(attn - m)
-    s = e.sum(axis=ax, keepdims=True, dtype=jnp.float32)
-    return (e.astype(jnp.float32) / s).astype(attn.dtype)
+    ever materialised (the key-position axis is simply split in two)."""
+    return softmax_scores(attn, axes=(-2, -1))

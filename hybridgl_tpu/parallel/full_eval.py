@@ -95,10 +95,18 @@ def prepare_records(
     parser,
     cfg: PipelineConfig,
     tokenizer=None,
-    max_sentences: int = 4,
+    max_sentences: int | None = None,
 ) -> FullEvalBatch:
     """Host-side batch assembly: parse + tokenize every sentence, pad to
-    the sentence bucket, stack images."""
+    the sentence bucket, stack images.
+
+    ``max_sentences`` defaults to the batch's true maximum (nothing is
+    silently truncated; RefCOCO-family refs can carry 5+ sentences) —
+    pass an explicit power-of-two bucket to bound jit specialisations
+    across batches (see cli/main.py:_run_data_parallel)."""
+    samples = list(samples)
+    if max_sentences is None:
+        max_sentences = max((len(s.sentences) for s in samples), default=1) or 1
     g = cfg.guidance
     L = cfg.clip.context_length
     K = g.max_other_nouns
@@ -161,9 +169,19 @@ def _image_ingredients(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axi
     sam_cfg, clip_cfg = cfg.sam, cfg.clip
     C = cfg.canonical_size
     g = cfg.guidance
-    props = generate_proposals(
-        sam_params, rec.image_1024, rec.rh, rec.rw, rec.h, rec.w, sam_cfg, cfg.amg, C
-    )
+    if cfg.amg.crop_n_layers >= 1:
+        # the PhraseCut configuration: mirror the sequential driver's
+        # multi-crop dispatch (pipeline/runner.py proposal_stage)
+        from ..models.sam.amg import generate_proposals_multicrop
+
+        props = generate_proposals_multicrop(
+            sam_params, rec.image_1024, rec.rh, rec.rw,
+            rec.image_canonical, rec.h, rec.w, sam_cfg, cfg.amg, C,
+        )
+    else:
+        props = generate_proposals(
+            sam_params, rec.image_1024, rec.rh, rec.rw, rec.h, rec.w, sam_cfg, cfg.amg, C
+        )
     if cfg.amg.min_mask_region_area > 0:
         # device-resident small-region cleanup (reference:
         # automatic_mask_generator.py:166-171) — the round-1 DP gap
@@ -284,13 +302,22 @@ def _select_and_accumulate(ing: Ingredients, rec, cfg: PipelineConfig, k1, k2):
         pi, pu, pio = ing.iu[sel.pure_index]
         fi, fu, fio = ing.iu[sel.final_index]
         e = enabled.astype(jnp.float32)
+        # zero-proposal images: the sequential driver records a MISS per
+        # sentence (I=0, U=gt_area, IoU=0, count+1 — runner._score_image);
+        # without this the DP metrics would count fewer sentences
+        e_miss = (rec.sentence_valid[si] & (num == 0)).astype(jnp.float32)
+        gt_area = rec.gt_mask.sum().astype(jnp.float32)
         pure_acc = IoUAccum(
-            pure_acc.cum_i + e * pi, pure_acc.cum_u + e * pu,
-            pure_acc.sum_iou + e * pio, pure_acc.count + e,
+            pure_acc.cum_i + e * pi,
+            pure_acc.cum_u + e * pu + e_miss * gt_area,
+            pure_acc.sum_iou + e * pio,
+            pure_acc.count + e + e_miss,
         )
         final_acc = IoUAccum(
-            final_acc.cum_i + e * fi, final_acc.cum_u + e * fu,
-            final_acc.sum_iou + e * fio, final_acc.count + e,
+            final_acc.cum_i + e * fi,
+            final_acc.cum_u + e * fu + e_miss * gt_area,
+            final_acc.sum_iou + e * fio,
+            final_acc.count + e + e_miss,
         )
         pure_idx = pure_idx.at[si].set(jnp.where(enabled, sel.pure_index, -1))
         final_idx = final_idx.at[si].set(jnp.where(enabled, sel.final_index, -1))
@@ -345,28 +372,18 @@ def build_full_eval_step(
         fa = IoUAccum(*(jax.lax.psum(x, axis) for x in fa))
         return pa, fa, pidx, fidx, pious, fious
 
-    try:  # jax >= 0.8 promotes shard_map out of experimental
-        from jax import shard_map as _sm
-
-        def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
-            return _sm(
-                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_vma=check_rep,
-            )
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from .mesh import shard_map_compat
 
     specs = FullEvalBatch(*(P(axis) for _ in FullEvalBatch._fields))
     if sticky:
         out_specs = Ingredients(*(P(axis) for _ in Ingredients._fields))
     else:
         out_specs = (P(), P(), P(axis), P(axis), P(axis), P(axis))
-    step = shard_map(
+    step = shard_map_compat(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), specs),
         out_specs=out_specs,
-        check_rep=False,
     )
     return jax.jit(step)
 

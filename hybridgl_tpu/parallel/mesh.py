@@ -38,6 +38,19 @@ from ..pipeline.guidance import select_candidates
 from ..pipeline.preprocess import build_crops
 
 
+def shard_map_compat(f, *, mesh, in_specs, out_specs):
+    """shard_map across jax versions: >= 0.8 moved it out of experimental
+    and renamed check_rep -> check_vma. One adapter for every call site."""
+    try:
+        from jax import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
@@ -171,24 +184,13 @@ def build_sharded_eval_step(
         acc = IoUAccum(*(jax.lax.psum(x, axis) for x in acc))
         return acc, sels
 
-    try:  # jax >= 0.8 promotes shard_map out of experimental
-        from jax import shard_map as _sm
-
-        def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
-            return _sm(
-                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_vma=check_rep,
-            )
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
 
     batch_specs = EvalBatch(*(P(axis) for _ in EvalBatch._fields))
-    step = shard_map(
+    step = shard_map_compat(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), batch_specs),
         out_specs=(P(), P(axis)),
-        check_rep=False,
     )
     return jax.jit(step)
 

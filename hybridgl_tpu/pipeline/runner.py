@@ -117,7 +117,9 @@ class HybridGLPipeline:
             sam_params = jax.jit(lambda p: stack_encoder_runs(p, cfg.sam))(
                 sam_params
             )
-        clip_params = jax.jit(_stack_clip_params)(clip_params)
+        vis = clip_params.get("visual", {})
+        if "blocks" in vis or "blocks" in clip_params.get("text", {}):
+            clip_params = jax.jit(_stack_clip_params)(clip_params)
         self.sam_params = sam_params
         self.clip_params = clip_params
         self.parser = parser or get_parser(

@@ -14,17 +14,32 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+def _default_dir() -> str:
+    """Prefer a repo-local .jax_cache when the package lives in a writable
+    checkout (keeps the cache next to the code it compiled); otherwise the
+    user cache directory — an installed package's site-packages parent may
+    be read-only, and the CLI enables the cache unconditionally."""
+    repo_local = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+    )
+    parent = os.path.dirname(repo_local)
+    if os.path.isdir(parent) and os.access(parent, os.W_OK):
+        return repo_local
+    xdg = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    return os.path.join(xdg, "hybridgl_tpu", "jax")
 
 
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Enable jax's on-disk compilation cache; returns the directory used
-    (None when disabled via HYBRIDGL_COMPILE_CACHE=0)."""
+    (None when disabled via HYBRIDGL_COMPILE_CACHE=0 or not creatable)."""
     env = os.environ.get("HYBRIDGL_COMPILE_CACHE")
     if env == "0":
         return None
-    path = path or (env if env else os.path.abspath(_DEFAULT))
-    os.makedirs(path, exist_ok=True)
+    path = path or (env if env else _default_dir())
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return None  # unwritable location: run without the cache
 
     import jax
 

@@ -37,25 +37,13 @@ def test_encoder_tp_matches_single_device(rng, mp):
 
     devices = np.array(jax.devices()[:mp])
     mesh = Mesh(devices, ("mp",))
-    try:  # jax >= 0.8
-        from jax import shard_map
+    from hybridgl_tpu.parallel.mesh import shard_map_compat
 
-        step = shard_map(
-            lambda p, x: encode_image_tp(p, x, cfg, axis="mp"),
-            mesh=mesh,
-            in_specs=(P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
-        step = shard_map(
-            lambda p, x: encode_image_tp(p, x, cfg, axis="mp"),
-            mesh=mesh,
-            in_specs=(P(), P()),
-            out_specs=P(),
-            check_rep=False,
-        )
+    step = shard_map_compat(
+        lambda p, x: encode_image_tp(p, x, cfg, axis="mp"),
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+    )
     got = np.asarray(jax.jit(step)(enc, img))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
