@@ -146,3 +146,79 @@ def test_full_eval_sticky_cleanup_exact_parity(pipeline):
             assert fidx[b, si] == r.final_index, (b, si)
             assert abs(pious[b, si] - r.pure_iou) < 1e-5
             assert abs(fious[b, si] - r.final_iou) < 1e-5
+
+
+def test_full_eval_zero_proposal_miss_matches_sequential(pipeline, cfg_no_cleanup):
+    """Zero-proposal images must count as per-sentence MISSES in the
+    non-sticky DP step exactly like runner._score_image: I=0, U=gt_area,
+    IoU=0, count+1 (regression: they were silently dropped)."""
+    import dataclasses
+
+    cfg = cfg_no_cleanup.replace(
+        amg=dataclasses.replace(
+            cfg_no_cleanup.amg, pred_iou_thresh=0.999, stability_score_thresh=0.999
+        )
+    )
+    parser = HeuristicParser()
+    tokenizer = FakeTokenizer()
+    seq_pipe = HybridGLPipeline(
+        cfg, pipeline.sam_params, pipeline.clip_params,
+        parser=parser, tokenizer=tokenizer,
+    )
+    rng = np.random.default_rng(21)
+    samples = [make_sample(rng, cfg.sam) for _ in range(4)]
+
+    state = seq_pipe.init_state()
+    for s in samples:
+        seq_pipe.run_image(s, state)
+
+    batch = prepare_records(samples, parser, cfg, tokenizer=tokenizer, max_sentences=2)
+    mesh = make_mesh(4)
+    step = build_full_eval_step(cfg, mesh)
+    pa, fa, *_ = step(
+        seq_pipe.sam_params, seq_pipe.clip_params, place_batch(batch, mesh)
+    )
+    # with 0.999 thresholds on random weights at least some images have no
+    # proposals; all sentences must still be counted
+    assert int(pa.count) == int(state.pure.count)
+    np.testing.assert_allclose(float(pa.cum_u), float(state.pure.cum_u), rtol=1e-5)
+    np.testing.assert_allclose(float(fa.cum_u), float(state.final.cum_u), rtol=1e-5)
+    np.testing.assert_allclose(float(pa.cum_i), float(state.pure.cum_i), rtol=1e-5)
+
+
+def test_full_eval_multicrop_dispatch(pipeline):
+    """crop_n_layers >= 1 must route the DP step through the multi-crop
+    AMG like the sequential driver (regression: it ran single-crop)."""
+    import dataclasses
+
+    from hybridgl_tpu.core.config import CompatConfig
+
+    cfg = pipeline.cfg.replace(
+        amg=dataclasses.replace(
+            pipeline.cfg.amg, min_mask_region_area=0, crop_n_layers=1,
+            max_candidates_per_crop=8,
+        ),
+        compat=CompatConfig(k_clamp_sticky=False),
+    )
+    parser = HeuristicParser()
+    tokenizer = FakeTokenizer()
+    seq_pipe = HybridGLPipeline(
+        cfg, pipeline.sam_params, pipeline.clip_params,
+        parser=parser, tokenizer=tokenizer,
+    )
+    rng = np.random.default_rng(22)
+    samples = [make_sample(rng, cfg.sam) for _ in range(4)]
+
+    state = seq_pipe.init_state()
+    for s in samples:
+        seq_pipe.run_image(s, state)
+
+    batch = prepare_records(samples, parser, cfg, tokenizer=tokenizer, max_sentences=2)
+    mesh = make_mesh(4)
+    step = build_full_eval_step(cfg, mesh)
+    pa, fa, pidx, fidx, *_ = step(
+        seq_pipe.sam_params, seq_pipe.clip_params, place_batch(batch, mesh)
+    )
+    assert int(pa.count) == int(state.pure.count)
+    np.testing.assert_allclose(float(pa.cum_i), float(state.pure.cum_i), rtol=1e-5)
+    np.testing.assert_allclose(float(fa.sum_iou), float(state.final.sum_iou), rtol=1e-4)
