@@ -248,9 +248,7 @@ class HybridGLPipeline:
             gem_pf,
             h,
             w,
-            toks_sentence,  # [77]
-            toks_np,  # [77]
-            toks_others,  # [K, 77]
+            toks_all,  # [2+K, 77]: sentence, noun phrase, other nouns
             n_others,  # int scalar
             dir_flag,
             rela_flag,
@@ -261,10 +259,7 @@ class HybridGLPipeline:
             gt_mask,
         ):
             text_p = clip_params["text"]
-            stacked = jnp.concatenate(
-                [toks_sentence[None], toks_np[None], toks_others], axis=0
-            )
-            tf = encode_text(text_p, stacked, clip_cfg)
+            tf = encode_text(text_p, toks_all, clip_cfg)
             sent_f, np_f, other_f = tf[0], tf[1], tf[2:]
             r = cfg.guidance.r
             text_ensemble = r * sent_f + (1 - r) * np_f
@@ -314,7 +309,7 @@ class HybridGLPipeline:
 
         def sentence_stage_accum(
             clip_params, props, feats, gem_pf, h, w,
-            toks_sentence, toks_np, toks_others, n_others,
+            toks_all, n_others,
             dir_flag, rela_flag, black, has_other, k1, k2, gt_mask,
             pure_acc, final_acc, acc_enable,
         ):
@@ -325,7 +320,7 @@ class HybridGLPipeline:
             of tunnel dispatch latency)."""
             sel, score, pure_iu, final_iu = sentence_stage(
                 clip_params, props, feats, gem_pf, h, w,
-                toks_sentence, toks_np, toks_others, n_others,
+                toks_all, n_others,
                 dir_flag, rela_flag, black, has_other, k1, k2, gt_mask,
             )
             e = jnp.asarray(acc_enable, jnp.float32)
@@ -351,7 +346,7 @@ class HybridGLPipeline:
         self._sentence_stage_batched = jax.jit(
             jax.vmap(
                 sentence_stage,
-                in_axes=(None, None, None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
+                in_axes=(None, None, None, None, None, None, 0, 0, 0, 0, 0, 0, None, None, None),
             )
         )
 
@@ -368,13 +363,13 @@ class HybridGLPipeline:
         K = self.cfg.guidance.max_other_nouns
         L = self.cfg.clip.context_length
         tk = dict(tokenizer=self.tokenizer, context_length=L, truncate=True)
-        toks_sentence = tok.tokenize(parsed.sentence, **tk)[0]
-        toks_np = tok.tokenize(parsed.noun_phrase, **tk)[0]
+        toks_all = np.zeros((2 + K, L), np.int32)  # one upload per sentence
+        toks_all[0] = tok.tokenize(parsed.sentence, **tk)[0]
+        toks_all[1] = tok.tokenize(parsed.noun_phrase, **tk)[0]
         others = parsed.other_noun_phrases[:K]
-        toks_others = np.zeros((K, L), np.int32)
         for i, noun in enumerate(others):
-            toks_others[i] = tok.tokenize("a photo of " + noun, **tk)[0]
-        return toks_sentence, toks_np, toks_others, len(others)
+            toks_all[2 + i] = tok.tokenize("a photo of " + noun, **tk)[0]
+        return toks_all, len(others)
 
     def _black(self, rela_flag: str) -> float:
         g = self.cfg.guidance
@@ -620,12 +615,10 @@ class HybridGLPipeline:
             rows = []
             for sentence in sample.sentences:
                 parsed = self.parser.parse(sentence)
-                toks_s, toks_np_, toks_o, n_others = self._tokenize_parsed(parsed)
+                toks_all, n_others = self._tokenize_parsed(parsed)
                 rows.append(
                     (
-                        toks_s,
-                        toks_np_,
-                        toks_o,
+                        toks_all,
                         n_others,
                         dir_flag_id(parsed.dir_flag),
                         rela_flag_id(parsed.rela_flag),
@@ -647,7 +640,7 @@ class HybridGLPipeline:
         results = []
         has_gt = sample.gt_mask is not None
         for sentence, row in zip(sample.sentences, rows):
-            toks_s, toks_np_, toks_o, n_others, dflag, rflag, black, has_other = row
+            toks_all, n_others, dflag, rflag, black, has_other = row
             with self._span("sentence_stage"):
                 # metric accumulators ride along inside the dispatch (zero
                 # extra device ops; see sentence_stage_accum) — reading
@@ -660,9 +653,7 @@ class HybridGLPipeline:
                         gem_pf,
                         sample.h,
                         sample.w,
-                        jnp.asarray(toks_s),
-                        jnp.asarray(toks_np_),
-                        jnp.asarray(toks_o),
+                        jnp.asarray(toks_all),
                         n_others,
                         dflag,
                         rflag,
