@@ -65,8 +65,8 @@ def default_argument_parser(epilog=None) -> argparse.ArgumentParser:
         "--data_parallel",
         action="store_true",
         help="shard the eval over all local devices (full pipeline per image, "
-        "psum'd metrics; uses the non-sticky k1/k2 clamp and skips the "
-        "small-region cleanup — see parallel/full_eval.py)",
+        "psum'd metrics; exact parity with the sequential driver — in-step "
+        "device cleanup + host-side sticky-clamp replay, parallel/full_eval.py)",
     )
     return p
 
@@ -301,10 +301,10 @@ def _run_data_parallel(args, cfg, pipe, sample_iter, ref_ids, start, n, state, p
         # nothing truncated (refs can carry 5+ sentences; a fixed cap
         # would silently diverge from the sequential driver) while jit
         # specialisations stay bounded to a few bucket sizes
+        from ..utils.buckets import next_pow2
+
         ms = max((len(c.sentences) for c in chunk), default=1) or 1
-        bucket = 4
-        while bucket < ms:
-            bucket *= 2
+        bucket = next_pow2(ms, base=4)
         batch = prepare_records(
             chunk, pipe.parser, cfg, tokenizer=pipe.tokenizer, max_sentences=bucket
         )

@@ -260,15 +260,9 @@ def stack_encoder_runs(sam_params, cfg: SamConfig):
     return out
 
 
-def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
-    """images: [N, 1024, 1024, 3] preprocessed -> [N, 64, 64, prompt_dim].
-
-    Runs at the PARAM dtype: preprocessing emits f32 (normalisation), and
-    following the activation dtype would silently run the whole encoder —
-    the pipeline's hottest stage — in f32 (quarter-rate MXU, 2x score-DMA).
-    Casting params bf16 (core.params.cast_pytree) is what selects bf16
-    serving; matmuls still accumulate f32 via preferred_element_type.
-    """
+def embed_patches(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
+    """Patchify conv + abs pos embed at the PARAM dtype (shared by the
+    single-device and tensor-parallel encoders)."""
     dt = jnp.asarray(p["patch_embed"]["w"]).dtype
     images = images.astype(dt)
     x = jax.lax.conv_general_dilated(
@@ -279,7 +273,42 @@ def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ).astype(dt) + p["patch_embed"]["b"].astype(dt)
-    x = x + p["pos_embed"].astype(dt)
+    return x + p["pos_embed"].astype(dt)
+
+
+def neck(p, x: jax.Array) -> jax.Array:
+    """1x1 conv -> LN2d -> 3x3 conv -> LN2d (image_encoder.py:88-104)."""
+    dt = x.dtype
+    x = jax.lax.conv_general_dilated(
+        x,
+        p["neck"]["conv1_w"].astype(dt),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    x = layer_norm_2d(p["neck"]["ln1"], x)
+    x = jax.lax.conv_general_dilated(
+        x,
+        p["neck"]["conv2_w"].astype(dt),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    return layer_norm_2d(p["neck"]["ln2"], x)
+
+
+def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
+    """images: [N, 1024, 1024, 3] preprocessed -> [N, 64, 64, prompt_dim].
+
+    Runs at the PARAM dtype: preprocessing emits f32 (normalisation), and
+    following the activation dtype would silently run the whole encoder —
+    the pipeline's hottest stage — in f32 (quarter-rate MXU, 2x score-DMA).
+    Casting params bf16 (core.params.cast_pytree) is what selects bf16
+    serving; matmuls still accumulate f32 via preferred_element_type.
+    """
+    x = embed_patches(p, images, cfg)
 
     runs = window_runs(cfg)
     if "block_runs" in p:
@@ -310,22 +339,4 @@ def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
 
             x, _ = jax.lax.scan(body, x, rp)
 
-    # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (image_encoder.py:88-104)
-    x = jax.lax.conv_general_dilated(
-        x,
-        p["neck"]["conv1_w"].astype(dt),
-        (1, 1),
-        "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)
-    x = layer_norm_2d(p["neck"]["ln1"], x)
-    x = jax.lax.conv_general_dilated(
-        x,
-        p["neck"]["conv2_w"].astype(dt),
-        (1, 1),
-        "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)
-    return layer_norm_2d(p["neck"]["ln2"], x)
+    return neck(p, x)

@@ -114,23 +114,13 @@ def encode_image_tp(p_enc, images: jax.Array, cfg: SamConfig, axis: str = "mp"):
     """Tensor-parallel ``encode_image``: call INSIDE shard_map/pjit with a
     mesh axis ``axis``; images replicated across the axis, output
     replicated. Accepts the stacked (``block_runs``) encoder format."""
-    from ..models.sam.image_encoder import layer_norm_2d
+    from ..models.sam.image_encoder import embed_patches, neck
 
     mp = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
     heads_local = cfg.encoder_heads // mp
 
-    dt = jnp.asarray(p_enc["patch_embed"]["w"]).dtype
-    images = images.astype(dt)
-    x = jax.lax.conv_general_dilated(
-        images,
-        p_enc["patch_embed"]["w"].astype(dt),
-        window_strides=(cfg.patch_size, cfg.patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(dt) + p_enc["patch_embed"]["b"].astype(dt)
-    x = x + p_enc["pos_embed"].astype(dt)
+    x = embed_patches(p_enc, images, cfg)
 
     runs = window_runs(cfg)
     for (kind, idxs), rp in zip(runs, p_enc["block_runs"]):
@@ -146,21 +136,4 @@ def encode_image_tp(p_enc, images: jax.Array, cfg: SamConfig, axis: str = "mp"):
 
             x, _ = jax.lax.scan(body, x, rp)
 
-    x = jax.lax.conv_general_dilated(
-        x,
-        p_enc["neck"]["conv1_w"].astype(dt),
-        (1, 1),
-        "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)
-    x = layer_norm_2d(p_enc["neck"]["ln1"], x)
-    x = jax.lax.conv_general_dilated(
-        x,
-        p_enc["neck"]["conv2_w"].astype(dt),
-        (1, 1),
-        "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)
-    return layer_norm_2d(p_enc["neck"]["ln2"], x)
+    return neck(p_enc, x)

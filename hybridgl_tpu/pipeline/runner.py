@@ -549,12 +549,11 @@ class HybridGLPipeline:
         P = int(props.masks.shape[0])
         if os.environ.get("HYBRIDGL_NO_BUCKETING"):
             return props  # single jit specialisation (benchmarks/CI)
+        from ..utils.buckets import next_pow2
+
         valid = np.asarray(props.valid)
         extent = int(valid.nonzero()[0].max()) + 1 if valid.any() else num_props
-        bucket = 8
-        while bucket < extent:
-            bucket *= 2
-        bucket = min(bucket, P)
+        bucket = min(next_pow2(extent, base=8), P)
         if bucket == P:
             return props
         sliced = {
@@ -681,10 +680,10 @@ class HybridGLPipeline:
     def _sentences_batched(self, sample, props, feats, gem_pf, rows, k1, k2, gt, state):
         """All sentences of an image in ONE vmapped dispatch (power-of-two
         sentence buckets; padded rows repeat row 0, outputs discarded)."""
+        from ..utils.buckets import next_pow2
+
         ns = len(rows)
-        bucket = 1
-        while bucket < ns:
-            bucket *= 2
+        bucket = next_pow2(ns)
         rows = rows + [rows[0]] * (bucket - ns)
         cols = list(zip(*rows))
         batched = [np.stack([np.asarray(v) for v in col]) for col in cols]

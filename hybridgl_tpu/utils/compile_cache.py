@@ -23,7 +23,12 @@ def _default_dir() -> str:
         os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
     )
     parent = os.path.dirname(repo_local)
-    if os.path.isdir(parent) and os.access(parent, os.W_OK):
+    # only a CHECKOUT gets the repo-local cache: an installed package's
+    # parent is site-packages (writable in any venv — don't litter it)
+    is_checkout = any(
+        os.path.exists(os.path.join(parent, m)) for m in (".git", "pyproject.toml")
+    )
+    if is_checkout and os.access(parent, os.W_OK):
         return repo_local
     xdg = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
     return os.path.join(xdg, "hybridgl_tpu", "jax")

@@ -178,8 +178,10 @@ def test_full_eval_zero_proposal_miss_matches_sequential(pipeline, cfg_no_cleanu
     pa, fa, *_ = step(
         seq_pipe.sam_params, seq_pipe.clip_params, place_batch(batch, mesh)
     )
-    # with 0.999 thresholds on random weights at least some images have no
-    # proposals; all sentences must still be counted
+    # the premise must actually hold or the miss branch goes unexercised:
+    # with 0.999 thresholds on random weights some image has no proposals
+    props = [seq_pipe.propose(s) for s in samples]
+    assert any(int(p.num) == 0 for p in props), "precondition lost: no zero-proposal image"
     assert int(pa.count) == int(state.pure.count)
     np.testing.assert_allclose(float(pa.cum_u), float(state.pure.cum_u), rtol=1e-5)
     np.testing.assert_allclose(float(fa.cum_u), float(state.final.cum_u), rtol=1e-5)
