@@ -344,8 +344,8 @@ def run_battery(shared, fusion_mode, n_scenes, with_zero_proposal=True):
 
 
 def test_driver_parity_g2l(shared):
-    agg = run_battery(shared, "G2L", n_scenes=14)
-    assert agg["n"] == 28
+    agg = run_battery(shared, "G2L", n_scenes=18)
+    assert agg["n"] == 36
 
 
 @pytest.mark.slow
@@ -353,5 +353,5 @@ def test_driver_parity_g2l(shared):
     "mode", ["crop", "token_masking", "attn_masking", "L2G", "G2L&L2G"]
 )
 def test_driver_parity_other_modes(shared, mode):
-    agg = run_battery(shared, mode, n_scenes=10, with_zero_proposal=False)
-    assert agg["n"] == 20
+    agg = run_battery(shared, mode, n_scenes=12, with_zero_proposal=False)
+    assert agg["n"] == 24
