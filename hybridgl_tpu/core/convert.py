@@ -274,7 +274,14 @@ def load_torch_clip(path: str):
     import torch
 
     try:
-        model = torch.jit.load(path, map_location="cpu")
+        import warnings
+
+        with warnings.catch_warnings():
+            # OpenAI CLIP ships TorchScript archives: torch.jit.load IS
+            # the loader for them (torch.export cannot read legacy
+            # torchscript), so its deprecation warning is noise here
+            warnings.filterwarnings("ignore", category=DeprecationWarning)
+            model = torch.jit.load(path, map_location="cpu")
         sd = model.state_dict()
     except RuntimeError:
         sd = torch.load(path, map_location="cpu")
