@@ -135,6 +135,9 @@ def main(argv=None) -> None:
     cfg = build_config(args)
     sam_params, clip_params = load_params(args, cfg)
     pipe = HybridGLPipeline(cfg, sam_params, clip_params)
+    # name the active expression parser up front: a silent heuristic
+    # fallback would quietly change selections vs the reference
+    print(f"expression parser: {type(pipe.parser).__name__}", flush=True)
     if args.profile:
         from ..utils.profiling import StageTimer
 

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 
 def force_f32_scores() -> bool:
-    env = os.environ.get("HYBRIDGL_F32_SCORES")
-    return env is not None and env not in ("0", "false", "off")
+    from ..utils.env import env_flag
+
+    return env_flag("HYBRIDGL_F32_SCORES", default=False)
 
 
 def score_dtype(activation_dtype):

@@ -5,11 +5,10 @@ Functionally equivalent to the reference's ``clip.tokenize`` /
 and clip/simple_tokenizer.py), written from the BPE algorithm itself.
 
 The BPE merge table (``bpe_simple_vocab_16e6.txt.gz``) is the canonical
-public OpenAI CLIP artifact and is NOT vendored here; it is resolved at
-runtime from, in order:
-  1. ``$HYBRIDGL_BPE_PATH``
-  2. an installed ``clip`` or ``open_clip`` package
-  3. well-known local checkouts (e.g. a mounted reference repo)
+public OpenAI CLIP artifact; a copy ships inside this package (declared as
+package data in pyproject.toml) so a fresh clone tokenizes standalone.
+``$HYBRIDGL_BPE_PATH`` overrides it, and an installed ``clip``/``open_clip``
+package's copy is used if the bundled file is ever stripped.
 
 ``ftfy`` is used for text cleanup when importable; otherwise we fall back
 to html-unescape only (RefCOCO expressions are plain ASCII, where the two
@@ -50,12 +49,7 @@ def _vocab_candidates() -> List[str]:
             cands.append(os.path.join(os.path.dirname(mod.__file__), _VOCAB_FILENAME))
         except Exception:
             pass
-    # well-known local checkouts of CLIP-family repos
-    for pattern in (
-        "/root/reference/third_party/*/clip/" + _VOCAB_FILENAME,
-        os.path.expanduser("~/.cache/clip/" + _VOCAB_FILENAME),
-    ):
-        cands.extend(glob.glob(pattern))
+    cands.extend(glob.glob(os.path.expanduser("~/.cache/clip/" + _VOCAB_FILENAME)))
     return cands
 
 

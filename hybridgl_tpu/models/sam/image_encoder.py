@@ -84,8 +84,19 @@ def use_flash_attention() -> bool:
     tunnel's noise band). Only engages for size >= 32, so the 14x14
     windowed blocks and tiny test configs keep the XLA path.
     """
-    env = os.environ.get("HYBRIDGL_FLASH")
-    return env is None or env.lower() not in ("0", "false", "off")
+    from ...utils.env import env_flag
+
+    return env_flag("HYBRIDGL_FLASH", default=True)
+
+
+def use_flash_windowed() -> bool:
+    """Pallas flash attention for the 14x14 windowed blocks (28 of 32 in
+    ViT-H) — the whole [B*25, 196, hd] window batch through the same
+    kernel, one k-tile per window (S == G^2 == block_q == block_k). Opt
+    OUT via $HYBRIDGL_FLASH_WINDOWED=0."""
+    from ...utils.env import env_flag
+
+    return env_flag("HYBRIDGL_FLASH_WINDOWED", default=True)
 
 
 def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
@@ -107,7 +118,13 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
     q, k, v = heads(q), heads(k), heads(v)
     scale = hd**-0.5
 
-    if size >= 32 and use_flash_attention():
+    # flash geometry: global blocks (size >= 32, tiled k) and the 14x14
+    # windowed blocks (size >= 8: one whole-window k-tile per program,
+    # rows_per_ktile == size >= 8 satisfies the (8, 128) sublane tiling)
+    flash_ok = use_flash_attention() and (
+        size >= 32 or (size >= 8 and use_flash_windowed())
+    )
+    if flash_ok:
         # fold the decomposed rel-pos bias into the Pallas flash kernel:
         # precompute the two rank-G terms from q (tiny), never materialise
         # the [S, S] bias or attention matrix
@@ -123,6 +140,10 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         ).reshape(B * num_heads, S, size)
         from ...kernels.flash_attention import flash_attention_rel_pos
 
+        if size >= 32:
+            block_q, block_k = 256, 512  # global: tile the 4096-token axis
+        else:
+            block_q = block_k = S  # windowed: one whole window per program
         out = flash_attention_rel_pos(
             (q * scale).reshape(B * num_heads, S, hd),
             k.reshape(B * num_heads, S, hd),
@@ -130,6 +151,8 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
             rel_h.astype(x.dtype),
             rel_w.astype(x.dtype),
             size,
+            block_q=block_q,
+            block_k=block_k,
         )
         out = out.reshape(B, num_heads, S, hd)
     else:

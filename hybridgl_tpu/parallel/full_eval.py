@@ -163,6 +163,95 @@ def prepare_records(
     return FullEvalBatch(**{k: np.stack(v) for k, v in arrays.items()})
 
 
+def _host_cleanup_in_step(props, h, w, cfg: PipelineConfig):
+    """In-step small-region cleanup via ``io_callback`` to the SAME host
+    pass the sequential driver runs (pipeline/postprocess.py) — parity by
+    construction, and ~100 ms/img host wall instead of the 7.8 s/img the
+    device connected-components pass measured on v5e (VERDICT r2 #2).
+
+    Masks cross the host boundary bit-packed (8x less traffic); on real
+    multi-chip pods the transfer rides PCIe and overlaps poorly only with
+    this image's own downstream stages (a data dependency the reference's
+    host loop has too, automatic_mask_generator.py:323-372).
+    """
+    from functools import partial
+
+    from jax.experimental import io_callback
+
+    from ..pipeline.postprocess import postprocess_small_regions
+
+    P_, C = props.masks.shape[0], props.masks.shape[-1]
+    min_area = cfg.amg.min_mask_region_area
+    nms_thresh = max(cfg.amg.box_nms_thresh, cfg.amg.crop_nms_thresh)
+
+    def host_fn(packed, boxes, iou, stab, points, areas, valid, num, h, w):
+        masks = np.unpackbits(np.asarray(packed), axis=-1, count=C).astype(bool)
+        from ..models.sam.amg import Proposals as _Props
+
+        bundle = _Props(
+            masks=masks,
+            boxes_xyxy=np.asarray(boxes, np.float32),
+            iou_preds=np.asarray(iou, np.float32),
+            stability=np.asarray(stab, np.float32),
+            points=np.asarray(points, np.float32),
+            areas=np.asarray(areas, np.float32),
+            valid=np.asarray(valid, bool),
+            num=np.asarray(num, np.int32),
+        )
+        out = postprocess_small_regions(
+            bundle, min_area, nms_thresh, hw=(int(h), int(w))
+        )
+        return (
+            np.packbits(np.asarray(out.masks), axis=-1),
+            np.asarray(out.boxes_xyxy, np.float32),
+            np.asarray(out.iou_preds, np.float32),
+            np.asarray(out.stability, np.float32),
+            np.asarray(out.points, np.float32),
+            np.asarray(out.areas, np.float32),
+            np.asarray(out.valid, bool),
+            np.asarray(out.num, np.int32),
+        )
+
+    f32 = jnp.float32
+    shapes = (
+        jax.ShapeDtypeStruct((P_, C, C // 8), jnp.uint8),
+        jax.ShapeDtypeStruct((P_, 4), f32),
+        jax.ShapeDtypeStruct((P_,), f32),
+        jax.ShapeDtypeStruct((P_,), f32),
+        jax.ShapeDtypeStruct((P_, 2), f32),
+        jax.ShapeDtypeStruct((P_,), f32),
+        jax.ShapeDtypeStruct((P_,), jnp.bool_),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    packed = jnp.packbits(props.masks, axis=-1)
+    packed2, boxes, iou, stab, points, areas, valid, num = io_callback(
+        host_fn,
+        shapes,
+        packed,
+        props.boxes_xyxy.astype(f32),
+        props.iou_preds.astype(f32),
+        props.stability.astype(f32),
+        props.points.astype(f32),
+        props.areas.astype(f32),
+        props.valid,
+        props.num,
+        h,
+        w,
+        ordered=False,
+    )
+    masks = jnp.unpackbits(packed2, axis=-1, count=C).astype(bool)
+    return props._replace(
+        masks=masks,
+        boxes_xyxy=boxes,
+        iou_preds=iou,
+        stability=stab,
+        points=points,
+        areas=areas,
+        valid=valid,
+        num=num,
+    )
+
+
 def _image_ingredients(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axis) -> Ingredients:
     """Proposals -> cleanup -> crops -> fusion -> per-sentence score
     vectors + per-proposal IoU table for one image."""
@@ -183,14 +272,23 @@ def _image_ingredients(sam_params, clip_params, rec, cfg: PipelineConfig, mp_axi
             sam_params, rec.image_1024, rec.rh, rec.rw, rec.h, rec.w, sam_cfg, cfg.amg, C
         )
     if cfg.amg.min_mask_region_area > 0:
-        # device-resident small-region cleanup (reference:
-        # automatic_mask_generator.py:166-171) — the round-1 DP gap
-        props = cleanup_proposals_jit(
-            props,
-            valid_mask((C, C), (rec.h, rec.w)),
-            cfg.amg.min_mask_region_area,
-            max(cfg.amg.box_nms_thresh, cfg.amg.crop_nms_thresh),
-        )
+        # small-region cleanup (reference: automatic_mask_generator.py:166-171).
+        # Default: io_callback to the sequential driver's host pass — exact
+        # parity, ~100 ms/img. HYBRIDGL_CLEANUP=device keeps the fully
+        # device-resident connected-components pass (kernels/connected.py,
+        # also exact, but 7.8 s/img measured on v5e — only for hosts that
+        # cannot take callbacks).
+        import os as _os
+
+        if _os.environ.get("HYBRIDGL_CLEANUP", "host") == "device":
+            props = cleanup_proposals_jit(
+                props,
+                valid_mask((C, C), (rec.h, rec.w)),
+                cfg.amg.min_mask_region_area,
+                max(cfg.amg.box_nms_thresh, cfg.amg.crop_nms_thresh),
+            )
+        else:
+            props = _host_cleanup_in_step(props, rec.h, rec.w, cfg)
     masks = props.masks
     if mp_axis is not None:
         mp = jax.lax.axis_size(mp_axis)

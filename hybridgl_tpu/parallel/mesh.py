@@ -43,11 +43,11 @@ def shard_map_compat(f, *, mesh, in_specs, out_specs):
     and renamed check_rep -> check_vma. One adapter for every call site."""
     try:
         from jax import shard_map as _sm
-
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as _sm
-
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - jax with shard_map but pre-rename kwarg
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
 
 

@@ -229,9 +229,11 @@ def postprocess_small_regions(
         areas = np.asarray(props.areas, np.float32).copy()
         for i, a in new_areas.items():
             areas[i] = a
-        areas[~valid] = 0.0
     else:
         areas = new_masks.sum(axis=(-2, -1)).astype(np.float32)
+    # both paths zero invalid/suppressed rows so the two backends produce
+    # identical Proposals.areas (initially-invalid rows may carry junk masks)
+    areas[~valid] = 0.0
     if return_changed:
         return _rebuild(props, new_masks, boxes, valid, areas), True
     return _rebuild(props, new_masks, boxes, valid, areas)

@@ -50,9 +50,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if os.environ.get("HYBRIDGL_NO_NATIVE_CLEANUP"):
+    from ..utils.env import env_flag
+
+    if env_flag("HYBRIDGL_NO_NATIVE_CLEANUP"):
         return None
-    if os.environ.get("HYBRIDGL_FORCE_NATIVE_CLEANUP") != "1":
+    if not env_flag("HYBRIDGL_FORCE_NATIVE_CLEANUP"):
         # cv2 5.0's block-based labeling (SIMD Spaghetti) measured faster
         # than this union-find on both noise-dense (847 vs 1156 ms) and
         # compact-blob (110 vs 138 ms) bundles on the single-core host, so

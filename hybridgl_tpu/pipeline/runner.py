@@ -38,6 +38,7 @@ from ..kernels.resize import (
     valid_mask,
 )
 from ..lang import ExpressionParser, ParsedExpression, get_parser
+from ..utils.env import env_flag
 from ..models.clip import tokenizer as tok
 from ..models.clip.fusion import calculate_score, hybrid_forward
 from ..models.clip.text import encode_text
@@ -384,7 +385,7 @@ class HybridGLPipeline:
         (reference: automatic_mask_generator.py:166-171 applies it whenever
         min_mask_region_area > 0 — true for both driver configs)."""
         with self._span("proposals"):
-            props, packed, aux, meta = self._dispatch_proposals(sample)
+            props, packed, aux, meta, _ = self._dispatch_proposals(sample)
         return self._finish_props(props, packed, aux, meta, (sample.h, sample.w))
 
     def _cleanup_host(self, props: Proposals, hw, packed, aux) -> Proposals:
@@ -444,15 +445,11 @@ class HybridGLPipeline:
         device->host path is slow (~13 MB/s measured vs ~390 MB/s up), so
         the 3.3 MB packed transfer must overlap the next stages' compute
         rather than stall the host when cleanup finally asks for it."""
+        # the canonical-frame upload rides in the returned tuple so the
+        # feature stage reuses the same device buffer instead of
+        # re-uploading ~1.2 MB over the tunnel (carried explicitly — an
+        # id(sample)-keyed cache could alias a freed sample's id)
         image_c = jnp.asarray(sample.image_canonical)
-        # cache the canonical-frame upload keyed on the sample (2-deep:
-        # the software pipeline dispatches image i+1 before scoring image
-        # i): the feature stage reuses the same device buffer instead of
-        # re-uploading ~1.2 MB over the tunnel
-        cache = getattr(self, "_image_c_cache", {})
-        cache = {k: v for k, v in list(cache.items())[-1:]}
-        cache[id(sample)] = image_c
-        self._image_c_cache = cache
         props, packed, aux, meta = self._proposal_stage(
             self.sam_params,
             jnp.asarray(sample.image_1024),
@@ -462,13 +459,17 @@ class HybridGLPipeline:
             sample.h,
             sample.w,
         )
+        # packed/aux prefetch is unconditional even though zero-survivor
+        # images never consume them: gating on num would need a synchronous
+        # meta read here, stalling every image ~36 ms (tunnel RTT) to save
+        # a rare wasted 3.3 MB overlapped transfer
         for buf in (packed, aux, meta):
             if buf is not None:
                 try:
                     buf.copy_to_host_async()
                 except Exception:
                     pass  # platforms without async host copies
-        return props, packed, aux, meta
+        return props, packed, aux, meta, image_c
 
     def _finish_props(self, props: Proposals, packed, aux, meta, hw) -> Proposals:
         # One host read covers num + overflow + valid (see proposal_stage);
@@ -508,11 +509,11 @@ class HybridGLPipeline:
         (sample, results) pairs — or (sample, results, proposals) with
         ``yield_props`` (for visualisation) — and mutates ``state``.
         """
-        pending = None  # (sample, in-flight proposals, packed, aux, meta)
+        pending = None  # (sample, in-flight proposals, packed, aux, meta, image_c)
 
-        def emit(smp, raw_props, packed, aux, meta):
+        def emit(smp, raw_props, packed, aux, meta, image_c):
             props = self._finish_props(raw_props, packed, aux, meta, (smp.h, smp.w))
-            results = self._score_image(smp, props, state)
+            results = self._score_image(smp, props, state, image_c=image_c)
             return (smp, results, props) if yield_props else (smp, results)
 
         for sample in samples:
@@ -544,10 +545,8 @@ class HybridGLPipeline:
         indices into the full bundle. Each bucket size is its own cached jit
         specialisation; the fusion stage's cost scales with the bucket
         instead of the worst-case P."""
-        import os
-
         P = int(props.masks.shape[0])
-        if os.environ.get("HYBRIDGL_NO_BUCKETING"):
+        if env_flag("HYBRIDGL_NO_BUCKETING"):
             return props  # single jit specialisation (benchmarks/CI)
         from ..utils.buckets import next_pow2
 
@@ -563,7 +562,11 @@ class HybridGLPipeline:
         return props._replace(**sliced)
 
     def _score_image(
-        self, sample: ImageSample, props: Proposals, state: PipelineState
+        self,
+        sample: ImageSample,
+        props: Proposals,
+        state: PipelineState,
+        image_c=None,
     ) -> List[SentenceResult]:
         num_props = int(props.num)
         if num_props == 0:
@@ -580,7 +583,6 @@ class HybridGLPipeline:
             return out
 
         props = self._bucket_props(props, num_props)
-        image_c = getattr(self, "_image_c_cache", {}).get(id(sample))
         if image_c is None:
             image_c = jnp.asarray(sample.image_canonical)
         with self._span("crops+fusion"):
@@ -633,7 +635,7 @@ class HybridGLPipeline:
         # batched never matched per-sentence peaks across the day) — the
         # small per-sentence launches overlap the next image's host work
         # better than one wide launch. Kept opt-in pending a quieter host.
-        if os.environ.get("HYBRIDGL_BATCH_SENTENCES"):
+        if env_flag("HYBRIDGL_BATCH_SENTENCES"):
             return self._sentences_batched(sample, props, feats, gem_pf, rows, k1, k2, gt, state)
 
         results = []

@@ -14,6 +14,9 @@ from __future__ import annotations
 
 import os
 
+from .env import env_is_falsy
+
+
 def _default_dir() -> str:
     """Prefer a repo-local .jax_cache when the package lives in a writable
     checkout (keeps the cache next to the code it compiled); otherwise the
@@ -38,8 +41,8 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     """Enable jax's on-disk compilation cache; returns the directory used
     (None when disabled via HYBRIDGL_COMPILE_CACHE=0 or not creatable)."""
     env = os.environ.get("HYBRIDGL_COMPILE_CACHE")
-    if env == "0":
-        return None
+    if env is not None and env_is_falsy(env):
+        return None  # "0"/"false"/"off"/"no" disable; other strings are paths
     path = path or (env if env else _default_dir())
     try:
         os.makedirs(path, exist_ok=True)

@@ -36,6 +36,33 @@ def test_flash_matches_reference(rng, block_q, block_k):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_flash_windowed_geometry(rng):
+    # the 14x14 windowed-block configuration: S == G^2 == block_q ==
+    # block_k (one whole window per program) at the SAM head dim
+    G = 14
+    S = G * G
+    BH, hd = 4, 80
+    q = rng.standard_normal((BH, S, hd), dtype=np.float32) * 0.3
+    k = rng.standard_normal((BH, S, hd), dtype=np.float32) * 0.3
+    v = rng.standard_normal((BH, S, hd), dtype=np.float32)
+    rel_h = rng.standard_normal((BH, S, G), dtype=np.float32) * 0.5
+    rel_w = rng.standard_normal((BH, S, G), dtype=np.float32) * 0.5
+    ref = np.asarray(
+        reference_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(rel_h), jnp.asarray(rel_w), G,
+        )
+    )
+    ours = np.asarray(
+        flash_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(rel_h), jnp.asarray(rel_w), G,
+            block_q=S, block_k=S, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_flash_extreme_logits_stable(rng):
     # online softmax must stay finite with large score magnitudes
     G, BH, hd = 8, 1, 8
