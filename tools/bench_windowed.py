@@ -67,7 +67,12 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--blocks", type=int, default=28)
     ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--only", choices=["xla-factored", "flash"], default=None)
     args = ap.parse_args()
+
+    from hybridgl_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = SamConfig(
         img_size=args.grid * 16,
@@ -99,6 +104,8 @@ def main():
     ]
 
     for label, env in (("xla-factored", "0"), ("flash", "1")):
+        if args.only and label != args.only:
+            continue
         os.environ["HYBRIDGL_FLASH_WINDOWED"] = env
         jit_run = make_run()
         # warmup (compile)
