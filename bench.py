@@ -110,6 +110,27 @@ def main():
 
     state = pipe.init_state()
     samples = [make_sample(100 + i) for i in range(n_iter)]
+
+    # Realistic-survival companion run (VERDICT r2 #6): the zeroed
+    # thresholds above keep the bucket full every image, but real-weight
+    # runs leave slots empty — bucketing, cleanup and the skip-reupload
+    # path then do different work. Calibrate thresholds to the random-weight
+    # score distribution (deterministic: PRNGKey(0) weights + seeded
+    # images -> identical floats every run, so the jit cache still hits)
+    # so a realistic fraction of candidates survives, and report that
+    # median alongside the full-bucket one.
+    realistic_pipe = None
+    if os.environ.get("BENCH_SURVIVAL", "both") != "full":
+        probe = pipe.propose(make_sample(0))
+        iou_q = float(np.quantile(np.asarray(probe.iou_preds), 0.55))
+        stab_q = float(np.quantile(np.asarray(probe.stability), 0.35))
+        amg_r = dataclasses.replace(
+            amg, pred_iou_thresh=round(iou_q, 4), stability_score_thresh=round(stab_q, 4)
+        )
+        cfg_r = PipelineConfig(sam_model=sam_model, fusion_mode="G2L", amg=amg_r)
+        realistic_pipe = HybridGLPipeline(
+            cfg_r, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=_Tok()
+        )
     # warmup (compilation) — run the measured samples once so every
     # proposal-bucket specialisation is compiled before the clock starts
     t_compile = time.time()
@@ -132,21 +153,45 @@ def main():
         rates.append(n_iter / (time.time() - t0))
     img_per_s = float(np.median(rates))
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_images_per_sec_per_chip",
-                "value": round(img_per_s, 4),
-                "unit": "img/s",
-                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
-            }
-        )
-    )
+    realistic = None
+    r_rates = []
+    if realistic_pipe is not None:
+        try:
+            # bucketing is part of what this mode measures — re-enable it
+            os.environ.pop("HYBRIDGL_NO_BUCKETING", None)
+            r_state = realistic_pipe.init_state()
+            # warmup (compiles this pipeline's bucket specialisations)
+            for s in samples:
+                realistic_pipe.run_image(s, r_state)
+            for _ in range(max(n_reps - 2, 3)):
+                t0 = time.time()
+                for _ in realistic_pipe.run_dataset(iter(samples), r_state):
+                    pass
+                r_rates.append(n_iter / (time.time() - t0))
+            realistic = float(np.median(r_rates))
+        except Exception as e:  # never lose the main metric to this mode
+            print(f"# realistic-survival pass failed: {e!r}", file=sys.stderr)
+            realistic = None
+
+    record = {
+        "metric": "e2e_images_per_sec_per_chip",
+        "value": round(img_per_s, 4),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
+    }
+    if realistic is not None:
+        record["realistic_survival_img_per_s"] = round(realistic, 4)
+    print(json.dumps(record))
     print(
         f"# sam={sam_model} iters={n_iter} reps={n_reps} "
         f"rates={[round(r, 3) for r in rates]} "
         f"min={min(rates):.3f} max={max(rates):.3f} "
-        f"warmup(compile)={compile_s:.1f}s cache={cache_dir} "
+        + (
+            f"realistic_rates={[round(r, 3) for r in r_rates]} "
+            if r_rates
+            else ""
+        )
+        + f"warmup(compile)={compile_s:.1f}s cache={cache_dir} "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

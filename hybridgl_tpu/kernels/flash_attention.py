@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -130,6 +131,158 @@ def flash_attention_rel_pos(
         ],
         interpret=interpret,
     )(q, k, v, rel_h_t, rel_w)
+
+
+def _windowed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, lane: int):
+    """One program = one window; heads unrolled inside, every slice a
+    128-aligned lane block.
+
+    q_ref/k_ref: [1, S, H*lane] augmented-contraction operands — per head,
+    q carries [q*scale, rel_h_term, rel_w_term, 0-pad] and k carries
+    [k, one_hot(kh), one_hot(kw), 0-pad], so ONE matmul yields
+    scores + decomposed rel-pos bias (image_encoder.py:292-361 math).
+    v_ref: [1, S, H*lane] zero-padded values; o_ref: [1, S, H*lane].
+    """
+    for h in range(num_heads):
+        lo = h * lane
+        q = q_ref[0][:, lo : lo + lane]
+        k = k_ref[0][:, lo : lo + lane]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [S, S] = q.k + rel_h + rel_w
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / p.sum(axis=1, keepdims=True)
+        v = v_ref[0][:, lo : lo + lane]
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, lo : lo + lane] = o.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "grid_side", "interpret")
+)
+def flash_windowed_fused(
+    qkv: jax.Array,  # [B, S, 3*D] from the qkv projection, S = grid_side**2
+    rel_h: jax.Array,  # [B, S, H*G] f32: q . Rh[qh(s), kh] per head
+    rel_w: jax.Array,  # [B, S, H*G] f32: q . Rw[qw(s), kw] per head
+    num_heads: int,
+    grid_side: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Whole-window attention with decomposed rel-pos folded into the score
+    matmul, consuming the qkv projection in its natural [B, S, 3D] layout.
+
+    Returns [B, S, H*lane] with lane = round_up(hd + 2G, 128): each head's
+    output occupies cols [h*lane, h*lane + hd), the rest zeros — consume it
+    with :func:`pad_windowed_proj` rows so no lane-repack copy is needed.
+
+    Why this shape (trace-guided, v5e):
+      * per-(window, head) grids cost ~0.7 ms/block of program overhead and
+        need three [B, H, S, hd] head-major relayouts (~1.9 ms/block);
+      * an in-kernel head loop over the raw 80-lane head slices pays a lane
+        shuffle per unaligned slice and a 14-concat bias build per head
+        (measured 0.82 ms/block);
+      * here the bias rides the MXU: q is augmented with its two rel terms
+        and k with the static kh/kw one-hots, every slice is 128-aligned,
+        and the kernel body is two matmuls + a softmax per head.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, S, three_d = qkv.shape
+    G = grid_side
+    assert S == G * G, (S, G)
+    D = three_d // 3
+    hd = D // num_heads
+    assert rel_h.shape == (B, S, num_heads * G), (rel_h.shape, (B, S, num_heads * G))
+    lane = _round_up(hd + 2 * G, 128) if not interpret else hd + 2 * G
+    dt = qkv.dtype
+    scale = hd**-0.5
+
+    q = qkv[..., :D].reshape(B, S, num_heads, hd)
+    k = qkv[..., D : 2 * D].reshape(B, S, num_heads, hd)
+    v = qkv[..., 2 * D :].reshape(B, S, num_heads, hd)
+    rh = rel_h.reshape(B, S, num_heads, G).astype(dt)
+    rw = rel_w.reshape(B, S, num_heads, G).astype(dt)
+    # static selectors: key position s attends bias column kh(s)/kw(s)
+    pos = np.arange(S)
+    KH = jnp.asarray(np.eye(G, dtype=np.float32)[pos // G], dt)  # [S, G]
+    KW = jnp.asarray(np.eye(G, dtype=np.float32)[pos % G], dt)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([KH, KW], axis=-1)[None, :, None, :], (B, S, num_heads, 2 * G)
+    )
+    pad = lane - (hd + 2 * G)
+    q_aug = jnp.concatenate([q * jnp.asarray(scale, dt), rh, rw], axis=-1)
+    k_aug = jnp.concatenate([k, sel], axis=-1)
+    if pad:
+        q_aug = jnp.pad(q_aug, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        k_aug = jnp.pad(k_aug, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    v_aug = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, lane - hd)))
+    HL = num_heads * lane
+    q_aug = q_aug.reshape(B, S, HL)
+    k_aug = k_aug.reshape(B, S, HL)
+    v_aug = v_aug.reshape(B, S, HL)
+
+    kernel = functools.partial(_windowed_kernel, num_heads=num_heads, lane=lane)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, HL), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, HL), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, HL), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, HL), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, HL), dt),
+        interpret=interpret,
+    )(q_aug, k_aug, v_aug)
+
+
+def windowed_lane(head_dim: int, grid_side: int, interpret: bool) -> int:
+    """The per-head output stride of :func:`flash_windowed_fused`."""
+    raw = head_dim + 2 * grid_side
+    return raw if interpret else _round_up(raw, 128)
+
+
+def pad_windowed_proj(proj_w: jax.Array, num_heads: int, lane: int) -> jax.Array:
+    """Expand proj rows [H*hd, D] -> [H*lane, D] (zero rows under the pad
+    lanes) so the projection consumes the kernel's padded output directly
+    instead of paying a lane-repack copy."""
+    Da, D = proj_w.shape
+    hd = Da // num_heads
+    w = proj_w.reshape(num_heads, hd, D)
+    w = jnp.pad(w, ((0, 0), (0, lane - hd), (0, 0)))
+    return w.reshape(num_heads * lane, D)
+
+
+def windowed_rel_terms(qkv: jax.Array, Rh: jax.Array, Rw: jax.Array, num_heads: int, grid_side: int):
+    """The two [B, S, H*G] bias terms for :func:`flash_windowed_fused`,
+    via per-row-block matmuls that never head-transpose q.
+
+    rel_h[b, (qh, qw), h, kh] = sum_c q[b, qh, qw, h*hd + c] * Rh[qh, kh, c]
+    is, for fixed qh, one [B*G, D] @ [D, H*G] product with a block-diagonal
+    weight built from Rh[qh] — batched over qh it is G matmuls of healthy
+    MXU shape instead of the 6-D einsum + relayout chain."""
+    B, S, three_d = qkv.shape
+    G = grid_side
+    D = three_d // 3
+    hd = D // num_heads
+    q = qkv[..., :D].reshape(B, G, G, num_heads, hd)
+    eye = jnp.eye(num_heads, dtype=Rh.dtype)
+    # RhD[qh, h*hd + c, h2*G + kh] = eye[h, h2] * Rh[qh, kh, c]
+    RhD = jnp.einsum("hH,qkc->qhcHk", eye, Rh).reshape(G, D, num_heads * G)
+    RwD = jnp.einsum("hH,wkc->whcHk", eye, Rw).reshape(G, D, num_heads * G)
+    qf = q.reshape(B, G, G, D)
+    rel_h = jnp.einsum(
+        "bqwd,qdn->bqwn", qf, RhD, preferred_element_type=jnp.float32
+    )  # batch qh: [B*G, D] @ [D, H*G]
+    rel_w = jnp.einsum(
+        "bqwd,wdn->bqwn", qf, RwD, preferred_element_type=jnp.float32
+    )
+    return rel_h.reshape(B, S, num_heads * G), rel_w.reshape(B, S, num_heads * G)
 
 
 def reference_attention_rel_pos(q, k, v, rel_h, rel_w, grid_side):

@@ -105,26 +105,45 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
     D = x.shape[-1]
     tokens = x.reshape(B, size * size, D)
     qkv = tokens @ p_attn["qkv_w"].astype(x.dtype) + p_attn["qkv_b"].astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
     # attention width from the qkv projection, not the input: under tensor
     # parallelism (parallel/encoder_tp.py) qkv_w maps D -> 3*(D/mp) for
     # this shard's head group; Da == D in the unsharded case
     Da = qkv.shape[-1] // 3
     hd = Da // num_heads
+    scale = hd**-0.5
+
+    if size < 32 and size >= 8 and use_flash_attention() and use_flash_windowed():
+        # windowed blocks: the fused whole-window kernel consumes qkv in
+        # its natural [B, S, 3*Da] layout — no head-major relayouts, no
+        # 6-D rel-pos reshapes (trace-guided; see flash_windowed_fused)
+        import jax as _jax
+
+        from ...kernels.flash_attention import (
+            flash_windowed_fused,
+            pad_windowed_proj,
+            windowed_lane,
+            windowed_rel_terms,
+        )
+
+        Rh = get_rel_pos_table(size, p_attn["rel_pos_h"].astype(x.dtype))
+        Rw = get_rel_pos_table(size, p_attn["rel_pos_w"].astype(x.dtype))
+        rel_h, rel_w = windowed_rel_terms(qkv, Rh, Rw, num_heads, size)
+        out = flash_windowed_fused(qkv, rel_h, rel_w, num_heads, size)
+        # kernel output is head-padded [B, S, H*lane]; consume it with
+        # zero-expanded proj rows instead of a lane-repack copy
+        lane = windowed_lane(hd, size, _jax.default_backend() == "cpu")
+        proj_w = pad_windowed_proj(p_attn["proj_w"].astype(x.dtype), num_heads, lane)
+        out = out @ proj_w + p_attn["proj_b"].astype(x.dtype)
+        return out.reshape(B, size, size, D)
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
         return t.reshape(B, size * size, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scale = hd**-0.5
 
-    # flash geometry: global blocks (size >= 32, tiled k) and the 14x14
-    # windowed blocks (size >= 8: one whole-window k-tile per program,
-    # rows_per_ktile == size >= 8 satisfies the (8, 128) sublane tiling)
-    flash_ok = use_flash_attention() and (
-        size >= 32 or (size >= 8 and use_flash_windowed())
-    )
-    if flash_ok:
+    if size >= 32 and use_flash_attention():
         # fold the decomposed rel-pos bias into the Pallas flash kernel:
         # precompute the two rank-G terms from q (tiny), never materialise
         # the [S, S] bias or attention matrix
@@ -140,10 +159,6 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         ).reshape(B * num_heads, S, size)
         from ...kernels.flash_attention import flash_attention_rel_pos
 
-        if size >= 32:
-            block_q, block_k = 256, 512  # global: tile the 4096-token axis
-        else:
-            block_q = block_k = S  # windowed: one whole window per program
         out = flash_attention_rel_pos(
             (q * scale).reshape(B * num_heads, S, hd),
             k.reshape(B * num_heads, S, hd),
@@ -151,8 +166,6 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
             rel_h.astype(x.dtype),
             rel_w.astype(x.dtype),
             size,
-            block_q=block_q,
-            block_k=block_k,
         )
         out = out.reshape(B, num_heads, S, hd)
     else:

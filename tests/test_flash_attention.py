@@ -63,6 +63,58 @@ def test_flash_windowed_geometry(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_flash_windowed_fused_matches_reference(rng):
+    # the whole-window kernel (qkv natural layout, heads unrolled inside)
+    # + its block-diagonal rel-term builder vs the unfused reference
+    from hybridgl_tpu.kernels.flash_attention import (
+        flash_windowed_fused,
+        windowed_rel_terms,
+    )
+
+    B, G, H, hd = 2, 8, 2, 16
+    S, D = G * G, H * 16
+    qkv = rng.standard_normal((B, S, 3 * D), dtype=np.float32) * 0.3
+    Rh = rng.standard_normal((G, G, hd), dtype=np.float32) * 0.2
+    Rw = rng.standard_normal((G, G, hd), dtype=np.float32) * 0.2
+    rel_h, rel_w = windowed_rel_terms(
+        jnp.asarray(qkv), jnp.asarray(Rh), jnp.asarray(Rw), H, G
+    )
+
+    def split(i):
+        return (
+            qkv[..., i * D : (i + 1) * D]
+            .reshape(B, S, H, hd)
+            .transpose(0, 2, 1, 3)
+            .reshape(B * H, S, hd)
+        )
+
+    q, k, v = split(0), split(1), split(2)
+    rq = q.reshape(B * H, G, G, hd)
+    ref_rel_h = np.einsum("bhwc,hkc->bhwk", rq, Rh).reshape(B * H, S, G)
+    ref_rel_w = np.einsum("bhwc,wkc->bhwk", rq, Rw).reshape(B * H, S, G)
+    np.testing.assert_allclose(
+        np.asarray(rel_h).reshape(B, S, H, G).transpose(0, 2, 1, 3).reshape(B * H, S, G),
+        ref_rel_h, atol=2e-5, rtol=2e-5,
+    )
+    scale = hd**-0.5
+    ref = np.asarray(
+        reference_attention_rel_pos(
+            jnp.asarray(q * scale), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(ref_rel_h), jnp.asarray(ref_rel_w), G,
+        )
+    ).reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, D)
+    from hybridgl_tpu.kernels.flash_attention import windowed_lane
+
+    padded = np.asarray(
+        flash_windowed_fused(jnp.asarray(qkv), rel_h, rel_w, H, G, interpret=True)
+    )
+    lane = windowed_lane(hd, G, interpret=True)
+    ours4 = padded.reshape(B, S, H, lane)
+    assert np.all(ours4[..., hd:] == 0.0), "pad lanes must stay zero"
+    ours = ours4[..., :hd].reshape(B, S, D)
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_flash_extreme_logits_stable(rng):
     # online softmax must stay finite with large score magnitudes
     G, BH, hd = 8, 1, 8
