@@ -262,25 +262,21 @@ def windowed_rel_terms(qkv: jax.Array, Rh: jax.Array, Rw: jax.Array, num_heads: 
     """The two [B, S, H*G] bias terms for :func:`flash_windowed_fused`,
     via per-row-block matmuls that never head-transpose q.
 
-    rel_h[b, (qh, qw), h, kh] = sum_c q[b, qh, qw, h*hd + c] * Rh[qh, kh, c]
-    is, for fixed qh, one [B*G, D] @ [D, H*G] product with a block-diagonal
-    weight built from Rh[qh] — batched over qh it is G matmuls of healthy
-    MXU shape instead of the 6-D einsum + relayout chain."""
+    rel_h[b, (qh, qw), h, kh] = sum_c q[b, qh, qw, h, c] * Rh[qh, kh, c]
+    is a matmul batched over qh with M = B*G*H — healthy MXU shape, the
+    q operand is a pure VIEW of qkv (no head transpose), and the output
+    axes (b, qh, qw, h, kh) reshape straight into the kernel's
+    [B, S, H*G] layout."""
     B, S, three_d = qkv.shape
     G = grid_side
     D = three_d // 3
     hd = D // num_heads
     q = qkv[..., :D].reshape(B, G, G, num_heads, hd)
-    eye = jnp.eye(num_heads, dtype=Rh.dtype)
-    # RhD[qh, h*hd + c, h2*G + kh] = eye[h, h2] * Rh[qh, kh, c]
-    RhD = jnp.einsum("hH,qkc->qhcHk", eye, Rh).reshape(G, D, num_heads * G)
-    RwD = jnp.einsum("hH,wkc->whcHk", eye, Rw).reshape(G, D, num_heads * G)
-    qf = q.reshape(B, G, G, D)
     rel_h = jnp.einsum(
-        "bqwd,qdn->bqwn", qf, RhD, preferred_element_type=jnp.float32
-    )  # batch qh: [B*G, D] @ [D, H*G]
+        "bqwhc,qkc->bqwhk", q, Rh, preferred_element_type=jnp.float32
+    )
     rel_w = jnp.einsum(
-        "bqwd,wdn->bqwn", qf, RwD, preferred_element_type=jnp.float32
+        "bqwhc,wkc->bqwhk", q, Rw, preferred_element_type=jnp.float32
     )
     return rel_h.reshape(B, S, num_heads * G), rel_w.reshape(B, S, num_heads * G)
 

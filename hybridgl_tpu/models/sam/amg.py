@@ -38,10 +38,10 @@ from ...kernels.masks import (
     stability_score,
 )
 from ...kernels.nms import kept_in_score_order, nms
-from ...kernels.resize import place_region, place_valid_region
+from ...kernels.resize import place_region, place_two_stage
 from .prompt_encoder import dense_pe, embed_points, no_mask_dense
 from .decoder import predict_masks
-from .sam import encode, predict_points, preprocess_padded, upscale_logits_to_input_frame
+from .sam import encode, predict_points, preprocess_padded
 
 PAD_NEG = -1e4  # logit fill outside the valid image region
 
@@ -77,18 +77,21 @@ def _canonical_logits(low_res, rh, rw, h, w, sam_cfg: SamConfig, canonical: int)
     """[B, 256, 256] low-res logits -> [B, C, C] canonical-frame logits.
 
     Two-stage bilinear exactly like the reference postprocess
-    (sam.py:154-161): 256 -> 1024 frame, crop valid (rh, rw), -> (h, w).
-    Padding is filled with PAD_NEG so area/stability sums ignore it.
+    (sam.py:154-161): 256 -> 1024 frame, crop valid (rh, rw), -> (h, w) —
+    composed into two batched MXU matmuls (kernels/resize.py:
+    place_two_stage; the gather formulation measured ~82 ms per
+    [192, 1024^2] chunk on v5e). Padding is filled with PAD_NEG so
+    area/stability sums ignore it.
     """
-    up = upscale_logits_to_input_frame(low_res, sam_cfg)  # [B, 1024, 1024]
-
-    def place(m):
-        return place_valid_region(m, (rh, rw), (canonical, canonical), (h, w))
-
-    placed = jax.vmap(place)(up)
-    i = jnp.arange(canonical)
-    valid = (i[:, None] < h) & (i[None, :] < w)
-    return jnp.where(valid[None], placed, PAD_NEG)
+    return place_two_stage(
+        low_res,
+        sam_cfg.img_size,
+        (rh, rw),
+        (canonical, canonical),
+        (0, 0),
+        (h, w),
+        fill=PAD_NEG,
+    )
 
 
 def _chunk_points(grid01: np.ndarray, chunk: int) -> np.ndarray:
@@ -290,13 +293,16 @@ def _score_crop_candidates(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
         )
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        up = upscale_logits_to_input_frame(flat, sam_cfg)
-
-        def place(m):
-            # crop 1024-frame -> canonical frame at the crop's position
-            return place_region(m, (rh, rw), (canonical, canonical), (y0, x0), (ch, cw), fill=PAD_NEG)
-
-        logits = jax.vmap(place)(up)
+        # 256 -> crop's 1024 frame -> canonical placement, as matmuls
+        logits = place_two_stage(
+            flat,
+            sam_cfg.img_size,
+            (rh, rw),
+            (canonical, canonical),
+            (y0, x0),
+            (ch, cw),
+            fill=PAD_NEG,
+        )
         stab = stability_score(
             logits, sam_cfg.mask_threshold, amg_cfg.stability_score_offset
         )
@@ -480,7 +486,6 @@ def generate_proposals_multicrop(
 
     low_res = jax.vmap(decode_one)(emb_stack[kept_crop], sparse, dense)
     sel = jnp.take_along_axis(low_res, kept_channel.reshape(P, 1, 1, 1), axis=1)[:, 0]
-    up = upscale_logits_to_input_frame(sel, sam_cfg)
 
     oy = jnp.stack([jnp.asarray(c["origin"][0], jnp.float32) for c in crops])
     ox = jnp.stack([jnp.asarray(c["origin"][1], jnp.float32) for c in crops])
@@ -488,16 +493,18 @@ def generate_proposals_multicrop(
     ew = jnp.stack([jnp.asarray(c["extent"][1], jnp.float32) for c in crops])
 
     def place_one(m, ci):
-        return place_region(
-            m,
+        # per-candidate crop geometry -> its own composed resize matrices
+        return place_two_stage(
+            m[None],
+            sam_cfg.img_size,
             (rhs[ci], rws[ci]),
             (canonical, canonical),
             (oy[ci], ox[ci]),
             (eh[ci], ew[ci]),
             fill=PAD_NEG,
-        )
+        )[0]
 
-    logits = jax.vmap(place_one)(up, kept_crop)
+    logits = jax.vmap(place_one)(sel, kept_crop)
     masks = (logits > sam_cfg.mask_threshold) & kept_valid[:, None, None]
 
     # points recorded in original-image coords (reference uncrops points)

@@ -71,3 +71,35 @@ def test_gaussian_blur_float_matches_cv2(rng):
     ref = cv2.GaussianBlur(img, (15, 15), 0)
     ours = np.asarray(gaussian_blur(jnp.asarray(img), 15))
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_place_two_stage_matches_gather_chain(rng):
+    """The composed-matrix form must equal the sequential two-stage gather
+    chain (upscale -> place_region) exactly (same taps, same clips),
+    including boundary/clip cases and the inside-region fill."""
+    import jax
+    from hybridgl_tpu.kernels.resize import place_region, place_two_stage
+
+    n, mid, OF = 16, 64, 48
+    low = rng.standard_normal((3, n, n), dtype=np.float32)
+    for rh, rw, y0, x0, dh, dw in [
+        (64, 48, 0.0, 0.0, 40, 30),
+        (50, 64, 5.0, 7.0, 20, 33),
+        (64, 64, 0.0, 0.0, 48, 48),
+        (17, 23, 11.0, 3.0, 37, 12),
+    ]:
+        up = jax.vmap(
+            lambda m: resize_bilinear(m, (mid, mid), src_hw=None)
+        )(jnp.asarray(low))
+        ref = jax.vmap(
+            lambda m: place_region(
+                m, (rh, rw), (OF, OF), (y0, x0), (dh, dw), fill=-7.0
+            )
+        )(up)
+        ours = place_two_stage(
+            jnp.asarray(low), mid, (rh, rw), (OF, OF), (y0, x0), (dh, dw), fill=-7.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"{(rh, rw, y0, x0, dh, dw)}",
+        )

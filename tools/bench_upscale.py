@@ -95,7 +95,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--bm", type=int, default=192)
+    ap.add_argument("--only", choices=["gather", "matmul"], default=None)
     args = ap.parse_args()
+
+    from hybridgl_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     sam_cfg = SamConfig()
     BM = args.bm
 
@@ -109,6 +114,8 @@ def main():
     ]
 
     for label, fn in (("gather", gather_chain), ("matmul", matmul_chain)):
+        if args.only and label != args.only:
+            continue
         jf = jax.jit(lambda low, fn=fn: fn(low, rh, rw, y0, x0, ch, cw, sam_cfg))
         t0 = time.time()
         r = jf(lows[0])
@@ -128,6 +135,8 @@ def main():
             flush=True,
         )
 
+    if args.only:
+        return
     # numeric agreement (borderline threshold flips aside)
     g = jax.jit(lambda low: gather_chain(low, rh, rw, y0, x0, ch, cw, sam_cfg))(lows[0])
     m = jax.jit(lambda low: matmul_chain(low, rh, rw, y0, x0, ch, cw, sam_cfg))(lows[0])
