@@ -362,16 +362,15 @@ def generate_proposals_multicrop(
 
     # ---- full-image crop -------------------------------------------------
     x_full = preprocess_padded(image_1024, (rh, rw), sam_cfg)
-    emb_full = encode(p_sam, x_full, sam_cfg)
     crops = [
         dict(
-            embedding=emb_full,
             grid=grid_full,
             origin=(jnp.float32(0.0), jnp.float32(0.0)),
             extent=(jnp.asarray(h, jnp.float32), jnp.asarray(w, jnp.float32)),
             rhw=(jnp.asarray(rh, jnp.int32), jnp.asarray(rw, jnp.int32)),
         )
     ]
+    frames = [x_full]
     # ---- layer-1 crops ---------------------------------------------------
     for (cy0, cx0, ch_, cw_) in _crop_boxes_layer1(h, w, amg_cfg.crop_overlap_ratio):
         S = sam_cfg.img_size
@@ -390,17 +389,22 @@ def generate_proposals_multicrop(
             (crh, crw),
             src_origin=(cy0, cx0),
         )
-        x_c = preprocess_padded(frame, (crh, crw), sam_cfg)
-        emb_c = encode(p_sam, x_c, sam_cfg)
+        frames.append(preprocess_padded(frame, (crh, crw), sam_cfg))
         crops.append(
             dict(
-                embedding=emb_c,
                 grid=grid_crop,
                 origin=(cy0, cx0),
                 extent=(ch_, cw_),
                 rhw=(crh, crw),
             )
         )
+    # one batched encoder pass for all five frames: a single weight stream
+    # and a [5*25, 196, D] windowed batch instead of five sequential calls
+    from .image_encoder import encode_image
+
+    embs = encode_image(p_sam["encoder"], jnp.stack(frames), sam_cfg)
+    for crop, emb in zip(crops, embs):
+        crop["embedding"] = emb
 
     # ---- pass 1 + per-crop NMS ------------------------------------------
     sel_boxes, sel_iou, sel_stab, sel_valid = [], [], [], []
