@@ -210,6 +210,11 @@ class AmgConfig:
 AMG_REFCOCO = AmgConfig()
 AMG_PHRASECUT = AmgConfig(
     points_per_side=64,
+    # decode-batch size is a memory knob, not semantics (the reference's 64
+    # targets GPU VRAM, automatic_mask_generator.py:46); 128 measured +17%
+    # e2e on v5e (fewer per-chunk overheads, fuller MXU batches) and the
+    # [384, C^2] pass-1 transient fits HBM comfortably
+    points_per_batch=128,
     pred_iou_thresh=0.86,
     stability_score_thresh=0.92,
     crop_n_layers=1,

@@ -46,6 +46,25 @@ def mask_to_box(masks: jax.Array) -> jax.Array:
     return jnp.where(empty[..., None], 0.0, box)
 
 
+def box_from_profiles(in_h: jax.Array, in_w: jax.Array) -> jax.Array:
+    """XYXY boxes from row/column occupancy profiles — identical math to
+    :func:`mask_to_box` given in_h = mask.any(-1), in_w = mask.any(-2).
+
+    in_h: [..., H] bool, in_w: [..., W] bool -> [..., 4] f32.
+    """
+    H = in_h.shape[-1]
+    W = in_w.shape[-1]
+    hh = jnp.arange(H)
+    ww = jnp.arange(W)
+    bottom = jnp.max(jnp.where(in_h, hh, -1), axis=-1)
+    top = jnp.min(jnp.where(in_h, hh, H), axis=-1)
+    right = jnp.max(jnp.where(in_w, ww, -1), axis=-1)
+    left = jnp.min(jnp.where(in_w, ww, W), axis=-1)
+    empty = ~in_h.any(axis=-1)
+    box = jnp.stack([left, top, right, bottom], axis=-1).astype(jnp.float32)
+    return jnp.where(empty[..., None], 0.0, box)
+
+
 def box_iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     """Pairwise IoU of XYXY boxes, [N, 4] x [M, 4] -> [N, M] (torchvision
     box_iou convention: width = x2 - x1, no +1)."""

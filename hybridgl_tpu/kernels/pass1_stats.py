@@ -1,0 +1,130 @@
+"""Fused AMG pass-1 statistics kernel.
+
+Pass 1 scores every (point, mask-channel) candidate but only needs four
+scalars/profiles per candidate: the two stability threshold counts
+(utils/amg.py:156-176 math), the row/column occupancy profiles (for
+mask_to_box), and non-emptiness. The canonical-frame logits they derive
+from are a linear map of the 256^2 decoder output
+(kernels/resize.py:place_two_stage), so materialising the [B, C, C]
+frame in HBM (~800 MB per 192-candidate chunk, re-read by every
+reduction) is pure waste.
+
+This kernel consumes the HALF-transformed logits
+``tmp = einsum("brc,pc->brp", low, Wx)`` ([B, n, C], 4x smaller) plus the
+row matrix ``Wy`` ([C, n]), completes the second matmul ONE ROW-TILE AT A
+TIME in VMEM, thresholds and accumulates in place, and writes only:
+
+  counts   [B, 2]  f32  — #(logit > thresh+offset), #(logit > thresh-offset)
+  row_any  [B, C]  f32  — 0/1 per output row:    any(logit > thresh)
+  col_any  [B, C]  f32  — 0/1 per output column: any(logit > thresh)
+
+The (y0, x0, dh, dw) placement window arrives as a dynamic SMEM vector;
+pixels outside it are excluded exactly like place_two_stage's PAD_NEG
+fill (reference stats frame: automatic_mask_generator.py:266-321 computes
+them on the crop-frame upscaled masks — identical counts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stats_kernel(
+    win_ref,  # SMEM [4] f32: y0, x0, dh, dw
+    tmp_ref,  # [1, n, C] f32
+    wy_ref,  # [C, n] f32 (same block for every program)
+    counts_ref,  # [1, 2] f32
+    rowany_ref,  # [1, C] f32
+    colany_ref,  # [1, C] f32
+    *,
+    n: int,
+    C: int,
+    tile: int,
+    thresh: float,
+    offset: float,
+):
+    y0 = win_ref[0]
+    x0 = win_ref[1]
+    dh = win_ref[2]
+    dw = win_ref[3]
+    tmp = tmp_ref[0]  # [n, C]
+    col = jax.lax.broadcasted_iota(jnp.float32, (1, C), 1)
+    col_ok = (col >= x0) & (col < x0 + dw)  # [1, C]
+
+    hi_acc = jnp.zeros((1, C), jnp.float32)
+    lo_acc = jnp.zeros((1, C), jnp.float32)
+    colany_ref[0, :] = jnp.zeros((C,), jnp.float32)
+
+    for t in range(C // tile):
+        rows = wy_ref[t * tile : (t + 1) * tile, :]  # [tile, n]
+        lt = jnp.dot(rows, tmp, preferred_element_type=jnp.float32)  # [tile, C]
+        r = jax.lax.broadcasted_iota(jnp.float32, (tile, 1), 0) + float(t * tile)
+        valid = ((r >= y0) & (r < y0 + dh)) & col_ok  # [tile, C]
+        m_hi = jnp.where((lt > thresh + offset) & valid, 1.0, 0.0)
+        m_lo = jnp.where((lt > thresh - offset) & valid, 1.0, 0.0)
+        m_t = jnp.where((lt > thresh) & valid, 1.0, 0.0)
+        hi_acc = hi_acc + m_hi.sum(axis=0, keepdims=True)
+        lo_acc = lo_acc + m_lo.sum(axis=0, keepdims=True)
+        colany_ref[0, :] = jnp.maximum(colany_ref[0, :], m_t.max(axis=0))
+        rowany_ref[0, t * tile : (t + 1) * tile] = m_t.max(axis=1)
+
+    counts_ref[0, 0] = hi_acc.sum()
+    counts_ref[0, 1] = lo_acc.sum()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("thresh", "offset", "tile", "interpret")
+)
+def pass1_stats(
+    tmp: jax.Array,  # [B, n, C] f32: low @ Wx^T
+    Wy: jax.Array,  # [C, n] f32 composed row weights
+    window,  # (y0, x0, dh, dw) traced scalars: placed region in the frame
+    thresh: float,
+    offset: float,
+    tile: int = 256,
+    interpret: bool | None = None,
+):
+    """Returns (stab [B], row_any [B, C] bool, col_any [B, C] bool).
+
+    stab = hi/lo per the reference stability score; profiles are of the
+    thresholded mask within the placement window.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, n, C = tmp.shape
+    assert Wy.shape == (C, n), (Wy.shape, (C, n))
+    if C % tile:
+        tile = C  # tiny test frames: single tile
+    win = jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in window]
+    )  # [4]
+    kernel = functools.partial(
+        _stats_kernel, n=n, C=C, tile=tile, thresh=thresh, offset=offset
+    )
+    counts, row_any, col_any = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((C, n), lambda b: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2), lambda b: (b, 0)),
+            pl.BlockSpec((1, C), lambda b: (b, 0)),
+            pl.BlockSpec((1, C), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(win, tmp, Wy)
+    stab = counts[:, 0] / jnp.maximum(counts[:, 1], 1.0)
+    return stab, row_any > 0.5, col_any > 0.5

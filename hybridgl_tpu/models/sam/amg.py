@@ -33,12 +33,12 @@ import numpy as np
 
 from ...core.config import AmgConfig, SamConfig
 from ...kernels.masks import (
+    box_from_profiles,
     box_near_crop_edge,
-    mask_to_box,
-    stability_score,
 )
 from ...kernels.nms import kept_in_score_order, nms
-from ...kernels.resize import place_region, place_two_stage
+from ...kernels.pass1_stats import pass1_stats
+from ...kernels.resize import _composed_axis_weights, place_region, place_two_stage
 from .prompt_encoder import dense_pe, embed_points, no_mask_dense
 from .decoder import predict_masks
 from .sam import encode, predict_points, preprocess_padded
@@ -139,8 +139,14 @@ def generate_proposals(
     cache_low_res = n_cand_total * 256 * 256 * 4 <= 256 * 1024 * 1024
 
     # ---- pass 1: score all candidates, keep only per-candidate scalars ----
-    # scanned over point chunks so the [B*M, canonical^2] logits transient
-    # exists once regardless of points_per_side (see _score_crop_candidates)
+    # scanned over point chunks; stability/box/nonempty come from the fused
+    # stats kernel over the HALF-transformed logits — the [B*M, canonical^2]
+    # frame is never materialised (kernels/pass1_stats.py)
+    n_low = sam_cfg.embed_grid * 4  # decoder logit resolution (256 for SAM)
+    S1 = sam_cfg.img_size
+    Wy = _composed_axis_weights(canonical, n_low, S1, rh, 0, h)
+    Wx = _composed_axis_weights(canonical, n_low, S1, rw, 0, w)
+
     def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]  # [B, 1, 2]
         labels = jnp.ones((B, 1), jnp.float32)
@@ -148,12 +154,17 @@ def generate_proposals(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
         )  # [B, 3, 256, 256], [B, 3]
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        logits = _canonical_logits(flat, rh, rw, h, w, sam_cfg, canonical)
-        stab = stability_score(
-            logits, sam_cfg.mask_threshold, amg_cfg.stability_score_offset
+        tmp = jnp.einsum(
+            "brc,pc->brp", flat.astype(jnp.float32), Wx,
+        )  # [B*M, 256, C]
+        stab, row_any, col_any = pass1_stats(
+            tmp,
+            Wy,
+            (0, 0, h, w),
+            sam_cfg.mask_threshold,
+            amg_cfg.stability_score_offset,
         )
-        masks = logits > sam_cfg.mask_threshold
-        boxes = mask_to_box(masks)
+        boxes = box_from_profiles(row_any, col_any)
         valid = jnp.ones((B * M,), bool)
         if amg_cfg.pred_iou_thresh > 0:
             valid &= iou_preds.reshape(-1) > amg_cfg.pred_iou_thresh
@@ -165,7 +176,7 @@ def generate_proposals(
         hf = jnp.asarray(h, jnp.float32)
         img_box = jnp.stack([jnp.float32(0), jnp.float32(0), wf, hf])
         valid &= ~box_near_crop_edge(boxes, img_box, img_box)
-        valid &= masks.any(axis=(-2, -1))  # drop empty masks
+        valid &= row_any.any(axis=-1)  # drop empty masks
         outs = (iou_preds.reshape(-1), stab, boxes, valid)
         if cache_low_res:
             outs = outs + (flat,)
@@ -281,11 +292,15 @@ def _score_crop_candidates(
         [x0f, y0f, x0f + jnp.asarray(cw, jnp.float32), y0f + jnp.asarray(ch, jnp.float32)]
     )
 
-    # lax.scan over the point chunks: the per-chunk transients (the
-    # [B*M, 1024, 1024] upscaled logits, ~800 MB f32 at B=64) exist once
-    # instead of once per unrolled chunk — at pps=64 x 5 crops the
-    # unrolled form exceeded HBM by 70 GB at compile time — and the graph
-    # carries the decode body once per crop instead of once per chunk.
+    # lax.scan over the point chunks (at pps=64 x 5 crops an unrolled form
+    # exceeded HBM by 70 GB at compile time); stability/box/nonempty come
+    # from the fused stats kernel over the half-transformed logits — the
+    # [B*M, canonical^2] frame is never materialised (kernels/pass1_stats.py)
+    n_low = sam_cfg.embed_grid * 4
+    S1 = sam_cfg.img_size
+    Wy = _composed_axis_weights(canonical, n_low, S1, rh, y0, ch)
+    Wx = _composed_axis_weights(canonical, n_low, S1, rw, x0, cw)
+
     def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]
         labels = jnp.ones((B, 1), jnp.float32)
@@ -293,28 +308,22 @@ def _score_crop_candidates(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
         )
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        # 256 -> crop's 1024 frame -> canonical placement, as matmuls
-        logits = place_two_stage(
-            flat,
-            sam_cfg.img_size,
-            (rh, rw),
-            (canonical, canonical),
-            (y0, x0),
-            (ch, cw),
-            fill=PAD_NEG,
+        tmp = jnp.einsum("brc,pc->brp", flat.astype(jnp.float32), Wx)
+        stab, row_any, col_any = pass1_stats(
+            tmp,
+            Wy,
+            (y0, x0, ch, cw),
+            sam_cfg.mask_threshold,
+            amg_cfg.stability_score_offset,
         )
-        stab = stability_score(
-            logits, sam_cfg.mask_threshold, amg_cfg.stability_score_offset
-        )
-        masks = logits > sam_cfg.mask_threshold
-        boxes = mask_to_box(masks)
+        boxes = box_from_profiles(row_any, col_any)
         valid = jnp.ones((B * M,), bool)
         if amg_cfg.pred_iou_thresh > 0:
             valid &= iou_preds.reshape(-1) > amg_cfg.pred_iou_thresh
         if amg_cfg.stability_score_thresh > 0:
             valid &= stab >= amg_cfg.stability_score_thresh
         valid &= ~box_near_crop_edge(boxes, crop_box, img_box)
-        valid &= masks.any(axis=(-2, -1))
+        valid &= row_any.any(axis=-1)
         return None, (iou_preds.reshape(-1), stab, boxes, valid)
 
     _, (iou_s, stab_s, boxes_s, valid_s) = jax.lax.scan(
