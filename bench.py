@@ -112,25 +112,36 @@ def main():
     samples = [make_sample(100 + i) for i in range(n_iter)]
 
     # Realistic-survival companion run (VERDICT r2 #6): the zeroed
-    # thresholds above keep the bucket full every image, but real-weight
-    # runs leave slots empty — bucketing, cleanup and the skip-reupload
-    # path then do different work. Calibrate thresholds to the random-weight
-    # score distribution (deterministic: PRNGKey(0) weights + seeded
-    # images -> identical floats every run, so the jit cache still hits)
-    # so a realistic fraction of candidates survives, and report that
-    # median alongside the full-bucket one.
+    # thresholds above keep every one of the P=64 slots live, but
+    # real-weight runs leave most empty — bucketing and the sentence
+    # stages then do much less work. Random weights produce DEGENERATE
+    # survival (all candidate boxes near-identical -> NMS keeps ~1), so
+    # instead of pretending to calibrate thresholds, the companion run
+    # stamps a deterministic representative occupancy pattern (drawn from
+    # typical RefCOCO AMG survivor counts) through the pipeline's
+    # survival_hook, with bucketing enabled.
     realistic_pipe = None
     if os.environ.get("BENCH_SURVIVAL", "both") != "full":
-        probe = pipe.propose(make_sample(0))
-        iou_q = float(np.quantile(np.asarray(probe.iou_preds), 0.55))
-        stab_q = float(np.quantile(np.asarray(probe.stability), 0.35))
-        amg_r = dataclasses.replace(
-            amg, pred_iou_thresh=round(iou_q, 4), stability_score_thresh=round(stab_q, 4)
-        )
-        cfg_r = PipelineConfig(sam_model=sam_model, fusion_mode="G2L", amg=amg_r)
         realistic_pipe = HybridGLPipeline(
-            cfg_r, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=_Tok()
+            cfg, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=_Tok()
         )
+        survival = [21, 7, 33, 12, 48, 3, 17, 26]  # cycles per image
+        counter = {"i": 0}
+
+        def stamp_survival(props):
+            import jax.numpy as jnp
+
+            n = survival[counter["i"] % len(survival)]
+            counter["i"] += 1
+            P = int(props.masks.shape[0])
+            n = min(n, P)
+            valid = np.zeros(P, bool)
+            valid[:n] = True
+            return props._replace(
+                valid=valid, num=np.asarray(n, np.int32)
+            )
+
+        realistic_pipe.survival_hook = stamp_survival
     # warmup (compilation) — run the measured samples once so every
     # proposal-bucket specialisation is compiled before the clock starts
     t_compile = time.time()
@@ -145,33 +156,44 @@ def main():
         pipe.timer = StageTimer(block=True)  # drop warmup/compile spans
     # median-of-N timed passes: run-to-run noise on this shared host was
     # observed at +/-10%, so a single pass is not a reproducible claim
+    r_state = None
+    if realistic_pipe is not None:
+        try:
+            # bucketing is part of what this mode measures — re-enable it
+            # for the realistic pipe's calls (read per call)
+            os.environ.pop("HYBRIDGL_NO_BUCKETING", None)
+            r_state = realistic_pipe.init_state()
+            # warmup (compiles the bucket specialisations)
+            for s in samples:
+                realistic_pipe.run_image(s, r_state)
+            os.environ["HYBRIDGL_NO_BUCKETING"] = "1"
+        except Exception as e:  # never lose the main metric to this mode
+            print(f"# realistic-survival warmup failed: {e!r}", file=sys.stderr)
+            realistic_pipe = None
+
+    # INTERLEAVED reps: the tunnel's health drifts within a run, so
+    # alternating full/realistic passes keeps the two medians comparable
     rates = []
-    for _ in range(n_reps):
+    r_rates = []
+    for rep in range(n_reps):
         t0 = time.time()
         for _ in pipe.run_dataset(iter(samples), state):
             pass
         rates.append(n_iter / (time.time() - t0))
-    img_per_s = float(np.median(rates))
-
-    realistic = None
-    r_rates = []
-    if realistic_pipe is not None:
-        try:
-            # bucketing is part of what this mode measures — re-enable it
-            os.environ.pop("HYBRIDGL_NO_BUCKETING", None)
-            r_state = realistic_pipe.init_state()
-            # warmup (compiles this pipeline's bucket specialisations)
-            for s in samples:
-                realistic_pipe.run_image(s, r_state)
-            for _ in range(max(n_reps - 2, 3)):
+        if realistic_pipe is not None and rep < max(n_reps - 2, 3):
+            try:
+                os.environ.pop("HYBRIDGL_NO_BUCKETING", None)
                 t0 = time.time()
                 for _ in realistic_pipe.run_dataset(iter(samples), r_state):
                     pass
                 r_rates.append(n_iter / (time.time() - t0))
-            realistic = float(np.median(r_rates))
-        except Exception as e:  # never lose the main metric to this mode
-            print(f"# realistic-survival pass failed: {e!r}", file=sys.stderr)
-            realistic = None
+            except Exception as e:
+                print(f"# realistic-survival rep failed: {e!r}", file=sys.stderr)
+                realistic_pipe = None
+            finally:
+                os.environ["HYBRIDGL_NO_BUCKETING"] = "1"
+    img_per_s = float(np.median(rates))
+    realistic = float(np.median(r_rates)) if r_rates else None
 
     record = {
         "metric": "e2e_images_per_sec_per_chip",

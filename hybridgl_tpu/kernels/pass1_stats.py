@@ -38,9 +38,9 @@ def _stats_kernel(
     win_ref,  # SMEM [4] f32: y0, x0, dh, dw
     tmp_ref,  # [1, n, C] f32
     wy_ref,  # [C, n] f32 (same block for every program)
-    counts_ref,  # [1, 2] f32
-    rowany_ref,  # [1, C] f32
-    colany_ref,  # [1, C] f32
+    counts_ref,  # [1, 1, 128] f32 (col 0 = hi, col 1 = lo)
+    rowany_ref,  # [1, 1, C] f32
+    colany_ref,  # [1, 1, C] f32
     *,
     n: int,
     C: int,
@@ -53,28 +53,37 @@ def _stats_kernel(
     dh = win_ref[2]
     dw = win_ref[3]
     tmp = tmp_ref[0]  # [n, C]
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, C), 1)
+    # NB: tpu.iota is integer-only; cast after (f32 compares against the
+    # SMEM window scalars)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(jnp.float32)
     col_ok = (col >= x0) & (col < x0 + dw)  # [1, C]
 
     hi_acc = jnp.zeros((1, C), jnp.float32)
     lo_acc = jnp.zeros((1, C), jnp.float32)
-    colany_ref[0, :] = jnp.zeros((C,), jnp.float32)
+    col_acc = jnp.zeros((1, C), jnp.float32)
 
     for t in range(C // tile):
         rows = wy_ref[t * tile : (t + 1) * tile, :]  # [tile, n]
         lt = jnp.dot(rows, tmp, preferred_element_type=jnp.float32)  # [tile, C]
-        r = jax.lax.broadcasted_iota(jnp.float32, (tile, 1), 0) + float(t * tile)
+        r = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0).astype(
+            jnp.float32
+        ) + float(t * tile)
         valid = ((r >= y0) & (r < y0 + dh)) & col_ok  # [tile, C]
         m_hi = jnp.where((lt > thresh + offset) & valid, 1.0, 0.0)
         m_lo = jnp.where((lt > thresh - offset) & valid, 1.0, 0.0)
         m_t = jnp.where((lt > thresh) & valid, 1.0, 0.0)
         hi_acc = hi_acc + m_hi.sum(axis=0, keepdims=True)
         lo_acc = lo_acc + m_lo.sum(axis=0, keepdims=True)
-        colany_ref[0, :] = jnp.maximum(colany_ref[0, :], m_t.max(axis=0))
-        rowany_ref[0, t * tile : (t + 1) * tile] = m_t.max(axis=1)
+        col_acc = jnp.maximum(col_acc, m_t.max(axis=0, keepdims=True))
+        rowany_ref[0, :, t * tile : (t + 1) * tile] = m_t.max(
+            axis=1, keepdims=True
+        ).reshape(1, tile)
 
-    counts_ref[0, 0] = hi_acc.sum()
-    counts_ref[0, 1] = lo_acc.sum()
+    colany_ref[0] = col_acc
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    counts_ref[0] = jnp.where(
+        lane == 0, hi_acc.sum(), jnp.where(lane == 1, lo_acc.sum(), 0.0)
+    )
 
 
 @functools.partial(
@@ -115,16 +124,16 @@ def pass1_stats(
             pl.BlockSpec((C, n), lambda b: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2), lambda b: (b, 0)),
-            pl.BlockSpec((1, C), lambda b: (b, 0)),
-            pl.BlockSpec((1, C), lambda b: (b, 0)),
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 2), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         interpret=interpret,
     )(win, tmp, Wy)
-    stab = counts[:, 0] / jnp.maximum(counts[:, 1], 1.0)
-    return stab, row_any > 0.5, col_any > 0.5
+    stab = counts[:, 0, 0] / jnp.maximum(counts[:, 0, 1], 1.0)
+    return stab, row_any[:, 0] > 0.5, col_any[:, 0] > 0.5

@@ -90,10 +90,11 @@ def use_flash_attention() -> bool:
 
 
 def use_flash_windowed() -> bool:
-    """Pallas flash attention for the 14x14 windowed blocks (28 of 32 in
-    ViT-H) — the whole [B*25, 196, hd] window batch through the same
-    kernel, one k-tile per window (S == G^2 == block_q == block_k). Opt
-    OUT via $HYBRIDGL_FLASH_WINDOWED=0."""
+    """Fused whole-window Pallas attention for the 14x14 windowed blocks
+    (28 of 32 in ViT-H): qkv consumed in its natural [B, S, 3D] layout,
+    rel-pos bias folded into the score matmul via augmented contraction
+    (kernels/flash_attention.py:flash_windowed_fused). Opt OUT via
+    $HYBRIDGL_FLASH_WINDOWED=0."""
     from ...utils.env import env_flag
 
     return env_flag("HYBRIDGL_FLASH_WINDOWED", default=True)

@@ -128,6 +128,7 @@ class HybridGLPipeline:
         )
         self.tokenizer = tokenizer or tok.default_tokenizer()
         self.timer = None  # optional utils.profiling.StageTimer
+        self.survival_hook = None  # optional Proposals -> Proposals override
         self._warned_overflow = False
         self._build_stages()
 
@@ -500,6 +501,11 @@ class HybridGLPipeline:
             with self._span("small_region_cleanup"):
                 if int(props.num) > 0:
                     props = self._cleanup_host(props, hw, packed, aux)
+        if self.survival_hook is not None:
+            # benchmarking/testing knob: override proposal survival after
+            # the stage (bench.py uses it to drive representative bucket
+            # occupancy — random weights yield degenerate NMS survival)
+            props = self.survival_hook(props)
         return props
 
     def run_dataset(self, samples, state: PipelineState, yield_props: bool = False):

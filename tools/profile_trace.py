@@ -106,11 +106,12 @@ def main():
     p.add_argument("--parse", default="", help="parse a captured trace dir")
     p.add_argument("--sam", default="vit_h")
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--calls", type=int, default=3, help="timed calls in the trace")
     args = p.parse_args()
     if args.out:
         capture(args.out, args.sam)
     if args.parse:
-        parse(args.parse, args.top)
+        parse(args.parse, args.top, args.calls)
     if not args.out and not args.parse:
         p.error("pass --out and/or --parse")
 
