@@ -61,19 +61,108 @@ def _mlp_relu(p_fc, p_proj, x):
     return _lin(p_proj, jax.nn.relu(_lin(p_fc, x)))
 
 
+def _heads_shared(t, num_heads):
+    """[L, D] -> [heads, L, hd] (no batch axis)."""
+    L, D = t.shape
+    return t.reshape(L, num_heads, D // num_heads).transpose(1, 0, 2)
+
+
+def _attn_shared_kv(p, q, k_shared, v_shared, num_heads: int):
+    """Multi-head attention where the key/value side is identical across the
+    batch: q is [B, Lq, C], k_shared/v_shared are [Lk, C]. Exactly the same
+    contraction as _attn with k/v broadcast to B, but the projections run
+    once and no [B, Lk, D] tensor is materialised. Used for the decoder's
+    layer-0 token->image attention in the AMG point loop, where the image
+    side is per-crop constant (reference recomputes it per prompt batch,
+    transformer.py:75-87)."""
+    q = _lin(p["q"], q)
+    k = _lin(p["k"], k_shared.astype(q.dtype))
+    v = _lin(p["v"], v_shared.astype(q.dtype))
+    B, Lq, D = q.shape
+    hd = D // num_heads
+    qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh, vh = _heads_shared(k, num_heads), _heads_shared(v, num_heads)
+    attn = jnp.einsum(
+        "bnqd,nkd->bnqk", qh, kh, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bnqk,nkd->bnqd", attn, vh, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return _lin(p["out"], out)
+
+
+def _attn_shared_q(p, q_shared, k, v, num_heads: int):
+    """Multi-head attention where the query side is identical across the
+    batch: q_shared is [Lq, C], k/v are [B, Lk, C]. The query projection
+    runs once; output is [B, Lq, D]. Used for the decoder's layer-0
+    image->token attention (image tokens query the per-point prompt
+    tokens)."""
+    k = _lin(p["k"], k)
+    v = _lin(p["v"], v)
+    q = _lin(p["q"], q_shared.astype(k.dtype))
+    B, Lk, D = k.shape
+    Lq = q.shape[0]
+    hd = D // num_heads
+    qh = _heads_shared(q, num_heads)
+    kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+    attn = jnp.einsum(
+        "nqd,bnkd->bnqk", qh, kh, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    attn = jax.nn.softmax(attn, axis=-1).astype(k.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, vh, preferred_element_type=jnp.float32)
+    out = out.astype(k.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return _lin(p["out"], out)
+
+
 def two_way_transformer(
     p,
-    image_embedding: jax.Array,  # [B, g*g, C]
-    image_pe: jax.Array,  # [1 or B, g*g, C]
+    image_embedding: jax.Array,  # [B, g*g, C] — or [g*g, C] with shared_image
+    image_pe: jax.Array,  # [1 or B, g*g, C] — or [g*g, C] with shared_image
     point_embedding: jax.Array,  # [B, T, C]
     cfg: SamConfig,
+    shared_image: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (queries [B,T,C], keys [B,g*g,C])
-    (reference: transformer.py:62-106, blocks :151-182)."""
+    (reference: transformer.py:62-106, blocks :151-182).
+
+    With ``shared_image`` the image side enters un-batched ([g*g, C]): in
+    layer 0 it is identical for every prompt in the batch, so its q/k/v
+    projections run once and the [B, g*g, C] image tensor is only
+    materialised by the layer-0 image->token output (after which the image
+    stream is genuinely per-prompt). Exact same math as the batched path —
+    the AMG point loop uses this to avoid re-projecting 4096 image tokens
+    per point chunk."""
     h = cfg.decoder_heads
     queries = point_embedding
-    keys = image_embedding
-    for i, layer in enumerate(p["layers"]):
+    if shared_image:
+        layer0 = p["layers"][0]
+        queries = queries + _attn(layer0["self_attn"], queries, queries, queries, h)
+        queries = _ln(layer0["norm1"], queries)
+
+        q = queries + point_embedding
+        k_img = image_embedding + image_pe  # [g*g, C], shared
+        queries = queries + _attn_shared_kv(
+            layer0["cross_t2i"], q, k_img, image_embedding, h
+        )
+        queries = _ln(layer0["norm2"], queries)
+
+        queries = queries + _mlp_relu(layer0["mlp_fc"], layer0["mlp_proj"], queries)
+        queries = _ln(layer0["norm3"], queries)
+
+        q = queries + point_embedding
+        keys = image_embedding[None] + _attn_shared_q(
+            layer0["cross_i2t"], k_img, q, queries, h
+        )
+        keys = _ln(layer0["norm4"], keys)
+
+        image_pe = image_pe[None]  # [1, g*g, C] broadcasts against [B, ...]
+        layers, first = p["layers"][1:], 1
+    else:
+        keys = image_embedding
+        layers, first = p["layers"], 0
+
+    for i, layer in enumerate(layers, first):
         if i == 0:
             queries = queries + _attn(layer["self_attn"], queries, queries, queries, h)
         else:
@@ -153,15 +242,24 @@ def predict_masks(
     )
     tokens = jnp.concatenate([output_tokens, sparse_prompts], axis=1)
 
-    src = jnp.broadcast_to(image_embedding[None], (B, g, g, C))
-    if dense_prompts is not None:
-        src = src + dense_prompts
-    src = src.reshape(B, g * g, C).astype(tokens.dtype)
-    pe = jnp.broadcast_to(image_pe.reshape(1, g * g, C), (B, g * g, C)).astype(
-        tokens.dtype
-    )
-
-    hs, src = two_way_transformer(p_dec["transformer"], src, pe, tokens, cfg)
+    if dense_prompts is None or dense_prompts.ndim == 3:
+        # image side identical for every prompt (dense_prompts [g, g, C] or
+        # absent): keep it un-batched through layer 0 (see two_way_transformer)
+        src = image_embedding
+        if dense_prompts is not None:
+            src = src + dense_prompts
+        src = src.reshape(g * g, C).astype(tokens.dtype)
+        pe = image_pe.reshape(g * g, C).astype(tokens.dtype)
+        hs, src = two_way_transformer(
+            p_dec["transformer"], src, pe, tokens, cfg, shared_image=True
+        )
+    else:
+        src = jnp.broadcast_to(image_embedding[None], (B, g, g, C)) + dense_prompts
+        src = src.reshape(B, g * g, C).astype(tokens.dtype)
+        pe = jnp.broadcast_to(image_pe.reshape(1, g * g, C), (B, g * g, C)).astype(
+            tokens.dtype
+        )
+        hs, src = two_way_transformer(p_dec["transformer"], src, pe, tokens, cfg)
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1 : 1 + nmt, :]
 

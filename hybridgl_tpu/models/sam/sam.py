@@ -70,7 +70,9 @@ def predict_points(
     iou preds [B,M]). Mirrors SamPredictor.predict_torch
     (reference: predictor.py:168-243) without the host round-trips."""
     sparse = embed_points(p_sam["prompt"], point_coords, point_labels, cfg, pad=True)
-    dense = no_mask_dense(p_sam["prompt"], cfg, sparse.shape[0])
+    # dense no-mask embedding is prompt-independent -> pass it un-batched so
+    # predict_masks keeps the image side shared through decoder layer 0
+    dense = no_mask_dense(p_sam["prompt"], cfg, 1)[0]
     pe = dense_pe(p_sam["prompt"], cfg)
     return predict_masks(
         p_sam["decoder"],

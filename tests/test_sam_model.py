@@ -84,6 +84,32 @@ def test_mask_decoder_matches_torch(sam_pair, rng):
     )
 
 
+def test_shared_image_decoder_path_matches_batched(sam_pair, rng):
+    """The AMG fast path (image side un-batched through decoder layer 0)
+    is the same math as the per-prompt-batched path."""
+    _, cfg, params = sam_pair
+    g = cfg.embed_grid
+    B = 6
+    emb = jnp.asarray(
+        rng.standard_normal((g, g, cfg.prompt_dim), dtype=np.float32)
+    )
+    coords = rng.random((B, 1, 2), dtype=np.float32) * cfg.img_size
+    labels = np.ones((B, 1), np.float32)
+    sparse = embed_points(params["prompt"], jnp.asarray(coords), jnp.asarray(labels), cfg)
+    pe = dense_pe(params["prompt"], cfg)
+    dense_b = no_mask_dense(params["prompt"], cfg, B)  # [B, g, g, C] -> batched
+    dense_s = dense_b[0]  # [g, g, C] -> shared
+
+    m_b, iou_b = predict_masks(
+        params["decoder"], emb, pe, sparse, cfg, dense_prompts=dense_b
+    )
+    m_s, iou_s = predict_masks(
+        params["decoder"], emb, pe, sparse, cfg, dense_prompts=dense_s
+    )
+    np.testing.assert_allclose(np.asarray(iou_s), np.asarray(iou_b), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_b), atol=1e-4, rtol=1e-4)
+
+
 def test_predict_points_end_to_end(sam_pair, rng):
     model, cfg, params = sam_pair
     img = rng.integers(0, 255, (cfg.img_size, cfg.img_size, 3)).astype(np.float32)
