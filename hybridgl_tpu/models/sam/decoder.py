@@ -191,19 +191,37 @@ def two_way_transformer(
 
 
 def _conv_transpose(x, w, b, stride=2):
-    """torch ConvTranspose2d(k=2, s=2, pad=0) as a dilated conv: dilate the
-    input by the stride and correlate with the spatially flipped kernel
-    (w stored HWIO = [kh, kw, in, out])."""
-    k = w.shape[0]
-    out = jax.lax.conv_general_dilated(
-        x,
-        jnp.flip(w, (0, 1)).astype(x.dtype),
-        window_strides=(1, 1),
-        padding=[(k - 1, k - 1), (k - 1, k - 1)],
-        lhs_dilation=(stride, stride),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+    """torch ConvTranspose2d(k=k, s=k, pad=0) (w stored HWIO =
+    [kh, kw, in, out]).
+
+    With stride == kernel the output windows do not overlap, so every
+    output pixel is a single contraction over the input channels:
+    out[b, k*i+di, k*j+dj, o] = sum_c x[b, i, j, c] * w[di, dj, c, o].
+    That is one MXU matmul [B*H*W, C] @ [C, k*k*O] plus a block
+    reshape/transpose — a far better TPU mapping than the dilated-conv
+    form (XLA lowers lhs_dilation on these shapes to a scatter-shaped
+    conv). Same contraction, f32 accumulate, identical numerics."""
+    kh, kw, cin, cout = w.shape
+    if (kh, kw) != (stride, stride):  # general fallback (unused by SAM)
+        out = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(w, (0, 1)).astype(x.dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return out + b.astype(x.dtype)
+    B, H, W, _ = x.shape
+    # [C, kh, kw, O] -> [C, kh*kw*O] so the matmul output is directly
+    # block-ordered for the reshape below
+    wm = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * cout)
+    out = jnp.einsum(
+        "bhwc,ck->bhwk", x, wm.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
+    out = out.reshape(B, H, W, kh, kw, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * kh, W * kw, cout)
     return out + b.astype(x.dtype)
 
 
