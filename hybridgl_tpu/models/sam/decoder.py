@@ -38,33 +38,30 @@ def _lin(p, x):
 
 
 def _attn(p, q, k, v, num_heads: int):
-    """Projected multi-head attention (reference transformer.py:185-240)."""
+    """Projected multi-head attention (reference transformer.py:185-240).
+
+    Heads stay in the [B, L, heads, hd] view end-to-end — no explicit
+    [B, heads, L, hd] transposes (on TPU those materialise as layout
+    copies of every projected tensor; the einsum batch dims express the
+    same contraction without them)."""
     q, k, v = _lin(p["q"], q), _lin(p["k"], k), _lin(p["v"], v)
     B, Lq, D = q.shape
     Lk = k.shape[1]
     hd = D // num_heads
-
-    def heads(t, L):
-        return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
-
-    qh, kh, vh = heads(q, Lq), heads(k, Lk), heads(v, Lk)
+    qh = q.reshape(B, Lq, num_heads, hd)
+    kh = k.reshape(B, Lk, num_heads, hd)
+    vh = v.reshape(B, Lk, num_heads, hd)
     attn = jnp.einsum(
-        "bnqd,bnkd->bnqk", qh, kh, preferred_element_type=jnp.float32
+        "bqnd,bknd->bnqk", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bnqk,bnkd->bnqd", attn, vh, preferred_element_type=jnp.float32)
-    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    out = jnp.einsum("bnqk,bknd->bqnd", attn, vh, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype).reshape(B, Lq, D)
     return _lin(p["out"], out)
 
 
 def _mlp_relu(p_fc, p_proj, x):
     return _lin(p_proj, jax.nn.relu(_lin(p_fc, x)))
-
-
-def _heads_shared(t, num_heads):
-    """[L, D] -> [heads, L, hd] (no batch axis)."""
-    L, D = t.shape
-    return t.reshape(L, num_heads, D // num_heads).transpose(1, 0, 2)
 
 
 def _attn_shared_kv(p, q, k_shared, v_shared, num_heads: int):
@@ -79,15 +76,17 @@ def _attn_shared_kv(p, q, k_shared, v_shared, num_heads: int):
     k = _lin(p["k"], k_shared.astype(q.dtype))
     v = _lin(p["v"], v_shared.astype(q.dtype))
     B, Lq, D = q.shape
+    Lk = k.shape[0]
     hd = D // num_heads
-    qh = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
-    kh, vh = _heads_shared(k, num_heads), _heads_shared(v, num_heads)
+    qh = q.reshape(B, Lq, num_heads, hd)
+    kh = k.reshape(Lk, num_heads, hd)
+    vh = v.reshape(Lk, num_heads, hd)
     attn = jnp.einsum(
-        "bnqd,nkd->bnqk", qh, kh, preferred_element_type=jnp.float32
+        "bqnd,knd->bnqk", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bnqk,nkd->bnqd", attn, vh, preferred_element_type=jnp.float32)
-    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    out = jnp.einsum("bnqk,knd->bqnd", attn, vh, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype).reshape(B, Lq, D)
     return _lin(p["out"], out)
 
 
@@ -103,15 +102,15 @@ def _attn_shared_q(p, q_shared, k, v, num_heads: int):
     B, Lk, D = k.shape
     Lq = q.shape[0]
     hd = D // num_heads
-    qh = _heads_shared(q, num_heads)
-    kh = k.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, Lk, num_heads, hd).transpose(0, 2, 1, 3)
+    qh = q.reshape(Lq, num_heads, hd)
+    kh = k.reshape(B, Lk, num_heads, hd)
+    vh = v.reshape(B, Lk, num_heads, hd)
     attn = jnp.einsum(
-        "nqd,bnkd->bnqk", qh, kh, preferred_element_type=jnp.float32
+        "qnd,bknd->bnqk", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     attn = jax.nn.softmax(attn, axis=-1).astype(k.dtype)
-    out = jnp.einsum("bnqk,bnkd->bnqd", attn, vh, preferred_element_type=jnp.float32)
-    out = out.astype(k.dtype).transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    out = jnp.einsum("bnqk,bknd->bqnd", attn, vh, preferred_element_type=jnp.float32)
+    out = out.astype(k.dtype).reshape(B, Lq, D)
     return _lin(p["out"], out)
 
 

@@ -44,8 +44,8 @@ class SamPredictor:
             if with_box:
                 be = embed_boxes(p["prompt"], boxes, cfg)
                 sparse = jnp.concatenate([sparse, be], axis=1)
-            B = sparse.shape[0]
-            dense = no_mask_dense(p["prompt"], cfg, B)
+            # un-batched no-mask dense -> shared-image decoder fast path
+            dense = no_mask_dense(p["prompt"], cfg, 1)[0]
             pe = dense_pe(p["prompt"], cfg)
             low_res, iou = predict_masks(
                 p["decoder"], features, pe, sparse, cfg,
