@@ -93,9 +93,11 @@ def _attn_shared_kv(p, q, k_shared, v_shared, num_heads: int):
 def _attn_shared_q(p, q_shared, k, v, num_heads: int):
     """Multi-head attention where the query side is identical across the
     batch: q_shared is [Lq, C], k/v are [B, Lk, C]. The query projection
-    runs once; output is [B, Lq, D]. Used for the decoder's layer-0
-    image->token attention (image tokens query the per-point prompt
-    tokens)."""
+    runs once, and the value/output projections are folded onto the tiny
+    token side (vo[t] = v_h[t] W_out[h]; sum over the Lk ~7 tokens happens
+    directly in the output width) so no [B, Lq, D] intermediate is ever
+    materialised. Used for the decoder's layer-0 image->token attention
+    (image tokens query the per-point prompt tokens)."""
     k = _lin(p["k"], k)
     v = _lin(p["v"], v)
     q = _lin(p["q"], q_shared.astype(k.dtype))
@@ -109,9 +111,110 @@ def _attn_shared_q(p, q_shared, k, v, num_heads: int):
         "qnd,bknd->bnqk", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     attn = jax.nn.softmax(attn, axis=-1).astype(k.dtype)
-    out = jnp.einsum("bnqk,bknd->bqnd", attn, vh, preferred_element_type=jnp.float32)
-    out = out.astype(k.dtype).reshape(B, Lq, D)
-    return _lin(p["out"], out)
+    wo = p["out"]["w"].reshape(num_heads, hd, -1)
+    vo = jnp.einsum(
+        "bknd,nde->bkne", vh.astype(jnp.float32), wo.astype(jnp.float32)
+    ).astype(k.dtype)
+    out = jnp.einsum(
+        "bnqk,bkne->bqe", attn, vo, preferred_element_type=jnp.float32
+    ).astype(k.dtype)
+    return out + p["out"]["b"].astype(k.dtype)
+
+
+def _heads_w(p_lin, num_heads):
+    """Projection weight/bias in the per-head view: [C, heads, hd], [heads, hd]."""
+    w = p_lin["w"]
+    C, D = w.shape
+    hd = D // num_heads
+    return w.reshape(C, num_heads, hd), p_lin["b"].reshape(num_heads, hd)
+
+
+def _t2i_attn(p, q_tok, keys_pe, keys_raw, num_heads: int):
+    """Token->image cross attention with every image-side projection
+    side-switched onto the token side.
+
+    With T (~7) prompt tokens against S (=4096) image tokens, projecting
+    the image stream costs three [B*S, C] @ [C, D] matmuls plus their
+    [B, S, D] materialisations. The same contraction reassociated:
+
+      scores[q,k] = (q W_q) . (keys_pe W_k + b_k)
+                  = (q W_q W_k^T) . keys_pe   (+ const over k -> cancels
+                                               in the softmax)
+      out[q]      = sum_k attn[q,k] (keys_raw[k] W_v + b_v) W_out + b_out
+                  = einsum(attn, keys_raw) (W_v W_out)  + b_v W_out + b_out
+                    (sum_k attn = 1 folds the v-bias into a constant)
+
+    so the image stream is only ever *read* by the two attention einsums;
+    the per-head [C, C] products ride on the tiny side. Exact in exact
+    arithmetic (matmul reassociation only). Reference math:
+    transformer.py:185-240."""
+    B = q_tok.shape[0]
+    dt = q_tok.dtype
+    qh = _lin(p["q"], q_tok)  # [B, T, D]
+    T, D = qh.shape[1], qh.shape[2]
+    hd = D // num_heads
+    qh = qh.reshape(B, T, num_heads, hd)
+    wk, _bk = _heads_w(p["k"], num_heads)  # b_k shifts scores uniformly over k
+    # [B,T,h,hd] x [C,h,hd] -> [B,T,h,C]  (tiny: T*heads rows)
+    qw = jnp.einsum(
+        "bthd,chd->bthc", qh.astype(jnp.float32), wk.astype(jnp.float32)
+    ).astype(dt)
+    scores = jnp.einsum(
+        "bthc,bkc->bhtk", qw, keys_pe, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    ctx = jnp.einsum(
+        "bhtk,bkc->bthc", attn, keys_raw, preferred_element_type=jnp.float32
+    ).astype(dt)
+    wv, bv = _heads_w(p["v"], num_heads)
+    wo = p["out"]["w"].reshape(num_heads, hd, -1)  # [h, hd, C]
+    wvo = jnp.einsum(
+        "chd,hde->hce", wv.astype(jnp.float32), wo.astype(jnp.float32)
+    )  # [h, C, C]
+    out = jnp.einsum(
+        "bthc,hce->bte", ctx, wvo.astype(dt), preferred_element_type=jnp.float32
+    ).astype(dt)
+    const = (
+        jnp.einsum("hd,hde->e", bv.astype(jnp.float32), wo.astype(jnp.float32))
+        + p["out"]["b"].astype(jnp.float32)
+    ).astype(dt)
+    return out + const
+
+
+def _i2t_attn(p, img_q_pe, k_tok, v_tok, num_heads: int):
+    """Image->token cross attention with the image-side query projection
+    side-switched onto the token side (see _t2i_attn; here the softmax runs
+    over the T (~7) tokens, so the q-bias term b_q . k_h[t] varies along the
+    softmax axis and is kept as a tiny [B, h, T] offset)."""
+    B, S, C = img_q_pe.shape
+    dt = img_q_pe.dtype
+    kh = _lin(p["k"], k_tok)  # [B, T, D]
+    vh = _lin(p["v"], v_tok)
+    T, D = kh.shape[1], kh.shape[2]
+    hd = D // num_heads
+    kh = kh.reshape(B, T, num_heads, hd)
+    vh = vh.reshape(B, T, num_heads, hd)
+    wq, bq = _heads_w(p["q"], num_heads)
+    # wk[b,t,h,:] = W_q[:, h] k_h[b,t,h,:]  (tiny)
+    wk = jnp.einsum(
+        "chd,bthd->bthc", wq.astype(jnp.float32), kh.astype(jnp.float32)
+    ).astype(dt)
+    offset = jnp.einsum("hd,bthd->bht", bq.astype(jnp.float32), kh.astype(jnp.float32))
+    scale = jax.lax.rsqrt(jnp.asarray(hd, jnp.float32))
+    scores = (
+        jnp.einsum("bqc,bthc->bhqt", img_q_pe, wk, preferred_element_type=jnp.float32)
+        + offset[:, :, None, :]
+    ) * scale
+    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    wo = p["out"]["w"].reshape(num_heads, hd, -1)
+    # vo[b,t,h,:] = v_h[b,t,h,:] W_out[h]  (tiny)
+    vo = jnp.einsum(
+        "bthd,hde->bthe", vh.astype(jnp.float32), wo.astype(jnp.float32)
+    ).astype(dt)
+    out = jnp.einsum(
+        "bhqt,bthe->bqe", attn, vo, preferred_element_type=jnp.float32
+    ).astype(dt)
+    return out + p["out"]["b"].astype(dt)
 
 
 def two_way_transformer(
@@ -169,22 +272,23 @@ def two_way_transformer(
             queries = queries + _attn(layer["self_attn"], q, q, queries, h)
         queries = _ln(layer["norm1"], queries)
 
+        # keys only update at the layer tail, so one PE-shifted image
+        # stream serves both cross attentions
+        kpe = keys + image_pe
         q = queries + point_embedding
-        k = keys + image_pe
-        queries = queries + _attn(layer["cross_t2i"], q, k, keys, h)
+        queries = queries + _t2i_attn(layer["cross_t2i"], q, kpe, keys, h)
         queries = _ln(layer["norm2"], queries)
 
         queries = queries + _mlp_relu(layer["mlp_fc"], layer["mlp_proj"], queries)
         queries = _ln(layer["norm3"], queries)
 
         q = queries + point_embedding
-        k = keys + image_pe
-        keys = keys + _attn(layer["cross_i2t"], k, q, queries, h)
+        keys = keys + _i2t_attn(layer["cross_i2t"], kpe, q, queries, h)
         keys = _ln(layer["norm4"], keys)
 
     q = queries + point_embedding
-    k = keys + image_pe
-    queries = queries + _attn(p["final_attn"], q, k, keys, h)
+    kpe = keys + image_pe
+    queries = queries + _t2i_attn(p["final_attn"], q, kpe, keys, h)
     queries = _ln(p["norm_final"], queries)
     return queries, keys
 
