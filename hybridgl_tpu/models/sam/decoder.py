@@ -293,41 +293,6 @@ def two_way_transformer(
     return queries, keys
 
 
-def _conv_transpose(x, w, b, stride=2):
-    """torch ConvTranspose2d(k=k, s=k, pad=0) (w stored HWIO =
-    [kh, kw, in, out]).
-
-    With stride == kernel the output windows do not overlap, so every
-    output pixel is a single contraction over the input channels:
-    out[b, k*i+di, k*j+dj, o] = sum_c x[b, i, j, c] * w[di, dj, c, o].
-    That is one MXU matmul [B*H*W, C] @ [C, k*k*O] plus a block
-    reshape/transpose — a far better TPU mapping than the dilated-conv
-    form (XLA lowers lhs_dilation on these shapes to a scatter-shaped
-    conv). Same contraction, f32 accumulate, identical numerics."""
-    kh, kw, cin, cout = w.shape
-    if (kh, kw) != (stride, stride):  # general fallback (unused by SAM)
-        out = jax.lax.conv_general_dilated(
-            x,
-            jnp.flip(w, (0, 1)).astype(x.dtype),
-            window_strides=(1, 1),
-            padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
-            lhs_dilation=(stride, stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        return out + b.astype(x.dtype)
-    B, H, W, _ = x.shape
-    # [C, kh, kw, O] -> [C, kh*kw*O] so the matmul output is directly
-    # block-ordered for the reshape below
-    wm = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * cout)
-    out = jnp.einsum(
-        "bhwc,ck->bhwk", x, wm.astype(x.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
-    out = out.reshape(B, H, W, kh, kw, cout)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * kh, W * kw, cout)
-    return out + b.astype(x.dtype)
-
-
 def _mlp_stack(layers, x, sigmoid_output=False):
     for i, p in enumerate(layers):
         x = _lin(p, x)
@@ -384,13 +349,29 @@ def predict_masks(
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1 : 1 + nmt, :]
 
-    # upscale image features 4x (mask_decoder.py:53-59)
+    # upscale image features 4x (mask_decoder.py:53-59) — in BLOCKED layout.
+    # Both deconvs have kernel == stride == 2 (non-overlapping windows), so
+    # each is a per-pixel matmul; the spatial interleave is a pure
+    # permutation that commutes with the bias/LN/GELU elementwise tail, so
+    # it is deferred all the way to the final hypernetwork einsum, which
+    # emits the true [4g, 4g] order directly. The [B, 4g, 4g, C/8] feature
+    # map (and its fp32 interleave copies) are never materialised.
+    u1, u2 = p_dec["upscale"]["deconv1"], p_dec["upscale"]["deconv2"]
+    c4, c8 = u1["w"].shape[-1], u2["w"].shape[-1]
     up = src.reshape(B, g, g, C)
-    up = _conv_transpose(up, p_dec["upscale"]["deconv1"]["w"], p_dec["upscale"]["deconv1"]["b"])
-    up = layer_norm_2d(p_dec["upscale"]["ln"], up)
-    up = jax.nn.gelu(up, approximate=False)
-    up = _conv_transpose(up, p_dec["upscale"]["deconv2"]["w"], p_dec["upscale"]["deconv2"]["b"])
-    up = jax.nn.gelu(up, approximate=False)  # [B, 4g, 4g, C/8]
+    w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)  # [C, i*j*c4]
+    x = jnp.einsum(
+        "bhwc,ck->bhwk", up, w1.astype(up.dtype), preferred_element_type=jnp.float32
+    ).astype(up.dtype)
+    x = x.reshape(B, g, g, 2, 2, c4) + u1["b"].astype(x.dtype)
+    x = layer_norm_2d(p_dec["upscale"]["ln"], x)  # channel LN: last-dim, any layout
+    x = jax.nn.gelu(x, approximate=False)
+    w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)  # [c4, e*f*c8]
+    x = jnp.einsum(
+        "bhwijc,ck->bhwijk", x, w2.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    x = x.reshape(B, g, g, 2, 2, 2, 2, c8) + u2["b"].astype(x.dtype)
+    x = jax.nn.gelu(x, approximate=False)  # [b, h, w, i, j, e, f, c]
 
     hyper = jnp.stack(
         [
@@ -400,9 +381,10 @@ def predict_masks(
         axis=1,
     )  # [B, nmt, C/8]
     g4 = 4 * g
+    # rows are (h, i, e) -> 4h+2i+e, cols (w, j, f) -> 4w+2j+f
     masks = jnp.einsum(
-        "bmc,bhwc->bmhw", hyper, up, preferred_element_type=jnp.float32
-    ).astype(jnp.float32)
+        "bmc,bhwijefc->bmhiewjf", hyper, x, preferred_element_type=jnp.float32
+    ).astype(jnp.float32).reshape(B, nmt, g4, g4)
 
     iou_pred = _mlp_stack(p_dec["iou_head"], iou_token_out).astype(jnp.float32)
 
