@@ -55,8 +55,7 @@ def _attn(p, q, k, v, num_heads: int):
         "bqnd,bknd->bnqk", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bnqk,bknd->bqnd", attn, vh, preferred_element_type=jnp.float32)
-    out = out.astype(q.dtype).reshape(B, Lq, D)
+    out = jnp.einsum("bnqk,bknd->bqnd", attn, vh).reshape(B, Lq, D)
     return _lin(p["out"], out)
 
 
@@ -85,8 +84,7 @@ def _attn_shared_kv(p, q, k_shared, v_shared, num_heads: int):
         "bqnd,knd->bnqk", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bnqk,knd->bqnd", attn, vh, preferred_element_type=jnp.float32)
-    out = out.astype(q.dtype).reshape(B, Lq, D)
+    out = jnp.einsum("bnqk,knd->bqnd", attn, vh).reshape(B, Lq, D)
     return _lin(p["out"], out)
 
 
@@ -115,9 +113,7 @@ def _attn_shared_q(p, q_shared, k, v, num_heads: int):
     vo = jnp.einsum(
         "bknd,nde->bkne", vh.astype(jnp.float32), wo.astype(jnp.float32)
     ).astype(k.dtype)
-    out = jnp.einsum(
-        "bnqk,bkne->bqe", attn, vo, preferred_element_type=jnp.float32
-    ).astype(k.dtype)
+    out = jnp.einsum("bnqk,bkne->bqe", attn, vo)
     return out + p["out"]["b"].astype(k.dtype)
 
 
@@ -163,17 +159,13 @@ def _t2i_attn(p, q_tok, keys_pe, keys_raw, num_heads: int):
         "bthc,bkc->bhtk", qw, keys_pe, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     attn = jax.nn.softmax(scores, axis=-1).astype(dt)
-    ctx = jnp.einsum(
-        "bhtk,bkc->bthc", attn, keys_raw, preferred_element_type=jnp.float32
-    ).astype(dt)
+    ctx = jnp.einsum("bhtk,bkc->bthc", attn, keys_raw)
     wv, bv = _heads_w(p["v"], num_heads)
     wo = p["out"]["w"].reshape(num_heads, hd, -1)  # [h, hd, C]
     wvo = jnp.einsum(
         "chd,hde->hce", wv.astype(jnp.float32), wo.astype(jnp.float32)
     )  # [h, C, C]
-    out = jnp.einsum(
-        "bthc,hce->bte", ctx, wvo.astype(dt), preferred_element_type=jnp.float32
-    ).astype(dt)
+    out = jnp.einsum("bthc,hce->bte", ctx, wvo.astype(dt))
     const = (
         jnp.einsum("hd,hde->e", bv.astype(jnp.float32), wo.astype(jnp.float32))
         + p["out"]["b"].astype(jnp.float32)
@@ -211,9 +203,7 @@ def _i2t_attn(p, img_q_pe, k_tok, v_tok, num_heads: int):
     vo = jnp.einsum(
         "bthd,hde->bthe", vh.astype(jnp.float32), wo.astype(jnp.float32)
     ).astype(dt)
-    out = jnp.einsum(
-        "bhqt,bthe->bqe", attn, vo, preferred_element_type=jnp.float32
-    ).astype(dt)
+    out = jnp.einsum("bhqt,bthe->bqe", attn, vo)
     return out + p["out"]["b"].astype(dt)
 
 
@@ -360,16 +350,12 @@ def predict_masks(
     c4, c8 = u1["w"].shape[-1], u2["w"].shape[-1]
     up = src.reshape(B, g, g, C)
     w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)  # [C, i*j*c4]
-    x = jnp.einsum(
-        "bhwc,ck->bhwk", up, w1.astype(up.dtype), preferred_element_type=jnp.float32
-    ).astype(up.dtype)
+    x = jnp.einsum("bhwc,ck->bhwk", up, w1.astype(up.dtype))
     x = x.reshape(B, g, g, 2, 2, c4) + u1["b"].astype(x.dtype)
     x = layer_norm_2d(p_dec["upscale"]["ln"], x)  # channel LN: last-dim, any layout
     x = jax.nn.gelu(x, approximate=False)
     w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)  # [c4, e*f*c8]
-    x = jnp.einsum(
-        "bhwijc,ck->bhwijk", x, w2.astype(x.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    x = jnp.einsum("bhwijc,ck->bhwijk", x, w2.astype(x.dtype))
     x = x.reshape(B, g, g, 2, 2, 2, 2, c8) + u2["b"].astype(x.dtype)
     x = jax.nn.gelu(x, approximate=False)  # [b, h, w, i, j, e, f, c]
 
