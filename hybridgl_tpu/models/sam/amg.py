@@ -45,6 +45,20 @@ from .sam import encode, predict_points, preprocess_padded
 
 PAD_NEG = -1e4  # logit fill outside the valid image region
 
+# Pass-1 decode scans run with unroll=2: the decoder chunk is DMA-latency
+# bound (~150 small weight/activation prefetches per chunk whose starts
+# serialize against ~7 ms of real compute), and interleaving two chunks in
+# one loop body lets XLA overlap one chunk's prefetches under the other's
+# compute without changing any matmul shape. Measured on v5e (ViT-H,
+# pps=64, B=128): 322 -> 308 us/point; unroll=4 adds nothing
+# (tools/bench_decode_scan.py).
+_PASS1_UNROLL = 2
+
+
+def _scan_unroll(n_chunks: int) -> int:
+    """lax.scan unroll factor for ``n_chunks`` iterations (must divide)."""
+    return _PASS1_UNROLL if n_chunks % _PASS1_UNROLL == 0 else 1
+
 
 class Proposals(NamedTuple):
     """Static-shape proposal bundle in the canonical eval frame."""
@@ -182,7 +196,9 @@ def generate_proposals(
             outs = outs + (flat,)
         return None, outs
 
-    _, scanned = jax.lax.scan(chunk_body, None, jnp.asarray(chunks))
+    _, scanned = jax.lax.scan(
+        chunk_body, None, jnp.asarray(chunks), unroll=_scan_unroll(chunks.shape[0])
+    )
     iou_all = scanned[0].reshape(-1)  # [n_cand]
     stab_all = scanned[1].reshape(-1)
     boxes_all = scanned[2].reshape(-1, 4)
@@ -327,7 +343,10 @@ def _score_crop_candidates(
         return None, (iou_preds.reshape(-1), stab, boxes, valid)
 
     _, (iou_s, stab_s, boxes_s, valid_s) = jax.lax.scan(
-        chunk_body, None, jnp.asarray(chunks)
+        chunk_body,
+        None,
+        jnp.asarray(chunks),
+        unroll=_scan_unroll(chunks.shape[0]),
     )
     n_cand = chunks.shape[0] * B * M
     point_idx = jnp.arange(n_cand) // M

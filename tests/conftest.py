@@ -20,6 +20,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 
+# Persist the (CPU) test compiles across runs: on a fresh host the suite is
+# compile-bound (~17 min cold vs ~5 min warm). HYBRIDGL_COMPILE_CACHE=0 opts out.
+from hybridgl_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -68,6 +68,12 @@ def main():
     ap.add_argument("--blocks", type=int, default=28)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--only", choices=["xla-factored", "flash"], default=None)
+    ap.add_argument(
+        "--trace",
+        default="",
+        help="capture a device trace of the timed reps into this dir "
+        "(parse with tools/profile_trace.py --parse DIR --calls REPS)",
+    )
     args = ap.parse_args()
 
     from hybridgl_tpu.utils.compile_cache import enable_persistent_cache
@@ -114,11 +120,15 @@ def main():
         float(r.sum())
         compile_s = time.time() - t0
         times = []
+        if args.trace:
+            jax.profiler.start_trace(args.trace)
         for i in range(args.reps):
             t0 = time.time()
             r = jit_run(params, xs[i + 1])
             float(r.sum())  # forced scalar read
             times.append(time.time() - t0)
+        if args.trace:
+            jax.profiler.stop_trace()
         med = sorted(times)[len(times) // 2]
         per_block = med / args.blocks * 1000
         print(
