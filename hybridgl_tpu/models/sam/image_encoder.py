@@ -57,6 +57,23 @@ def get_rel_pos_table(size: int, rel_pos: jax.Array) -> jax.Array:
     return rel_pos[idx]
 
 
+def _rel_tables(p_attn, size: int, dtype) -> tuple[jax.Array, jax.Array]:
+    """The per-block [size, size, hd] rel-pos tables.
+
+    Prefer the precomputed ``rel_tab_h/w`` (added by stack_encoder_runs):
+    gathering from the raw (2*size-1, hd) param INSIDE the windowed-run scan
+    made XLA stage the whole stacked [depth, 2G-1, hd] table through VMEM
+    every iteration — a device trace showed ~69 ms/call of copy-starts on
+    the [28, 27, 80] buffers alone (vs a ~50 ms loop wall). The precomputed
+    tables stream with the rest of the block's weights instead."""
+    if "rel_tab_h" in p_attn:
+        return p_attn["rel_tab_h"].astype(dtype), p_attn["rel_tab_w"].astype(dtype)
+    return (
+        get_rel_pos_table(size, p_attn["rel_pos_h"].astype(dtype)),
+        get_rel_pos_table(size, p_attn["rel_pos_w"].astype(dtype)),
+    )
+
+
 def decomposed_rel_pos_bias(q: jax.Array, rel_pos_h, rel_pos_w, size: int):
     """Per-head additive attention bias from decomposed rel-pos.
 
@@ -126,8 +143,7 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
             windowed_rel_terms,
         )
 
-        Rh = get_rel_pos_table(size, p_attn["rel_pos_h"].astype(x.dtype))
-        Rw = get_rel_pos_table(size, p_attn["rel_pos_w"].astype(x.dtype))
+        Rh, Rw = _rel_tables(p_attn, size, x.dtype)
         rel_h, rel_w = windowed_rel_terms(qkv, Rh, Rw, num_heads, size)
         out = flash_windowed_fused(qkv, rel_h, rel_w, num_heads, size)
         # kernel output is head-padded [B, S, H*lane]; consume it with
@@ -148,8 +164,7 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         # fold the decomposed rel-pos bias into the Pallas flash kernel:
         # precompute the two rank-G terms from q (tiny), never materialise
         # the [S, S] bias or attention matrix
-        Rh = get_rel_pos_table(size, p_attn["rel_pos_h"].astype(x.dtype))
-        Rw = get_rel_pos_table(size, p_attn["rel_pos_w"].astype(x.dtype))
+        Rh, Rw = _rel_tables(p_attn, size, x.dtype)
         S = size * size
         r_q = q.reshape(B, num_heads, size, size, hd)
         rel_h = jnp.einsum(
@@ -185,8 +200,7 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         attn6 = jnp.einsum(
             "bnhwc,bnHWc->bnhwHW", q6 * scale, k6, preferred_element_type=jnp.float32
         ).astype(score_dt)
-        Rh = get_rel_pos_table(size, p_attn["rel_pos_h"].astype(x.dtype))
-        Rw = get_rel_pos_table(size, p_attn["rel_pos_w"].astype(x.dtype))
+        Rh, Rw = _rel_tables(p_attn, size, x.dtype)
         rel_h = jnp.einsum(
             "bnhwc,hkc->bnhwk", q6, Rh, preferred_element_type=jnp.float32
         ).astype(score_dt)
@@ -283,14 +297,29 @@ def stack_encoder_runs(sam_params, cfg: SamConfig):
     """
     enc = dict(sam_params["encoder"])
     blocks = enc.pop("blocks")
+
+    def with_tables(bp, size):
+        # precompute the [size, size, hd] rel-pos tables so the serving
+        # scan never gathers from the stacked (2*size-1, hd) params inside
+        # the loop (see _rel_tables)
+        attn = dict(bp["attn"])
+        attn["rel_tab_h"] = get_rel_pos_table(size, attn["rel_pos_h"])
+        attn["rel_tab_w"] = get_rel_pos_table(size, attn["rel_pos_w"])
+        out = dict(bp)
+        out["attn"] = attn
+        return out
+
     rps = []
     for kind, idxs in window_runs(cfg):
+        size = cfg.window_size if kind == "win" else cfg.embed_grid
         if len(idxs) == 1:
-            rps.append(blocks[idxs[0]])
+            rps.append(with_tables(blocks[idxs[0]], size))
         else:
             from ...core.params import stack_block_params
 
-            rps.append(stack_block_params([blocks[i] for i in idxs]))
+            rps.append(
+                stack_block_params([with_tables(blocks[i], size) for i in idxs])
+            )
     enc["block_runs"] = rps
     out = dict(sam_params)
     out["encoder"] = enc

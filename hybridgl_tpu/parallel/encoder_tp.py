@@ -77,6 +77,9 @@ def _shard_block_params(bp, cfg: SamConfig, idx, mp: int):
         "rel_pos_h": attn["rel_pos_h"],  # per-head-dim tables: shared
         "rel_pos_w": attn["rel_pos_w"],
     }
+    for k in ("rel_tab_h", "rel_tab_w"):  # precomputed [G, G, hd]: shared too
+        if k in attn:
+            new_attn[k] = attn[k]
     return {
         "ln_1": bp["ln_1"],
         "ln_2": bp["ln_2"],

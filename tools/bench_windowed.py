@@ -59,6 +59,11 @@ def make_block_params(key, depth, D=1280, heads=16, window=14, dtype=jnp.bfloat1
         "mlp_fc": {"w": nrm(ks[6], (depth, D, mlp)), "b": nrm(ks[7], (depth, mlp))},
         "mlp_proj": {"w": nrm(ks[8], (depth, mlp, D)), "b": nrm(ks[9], (depth, D))},
     }
+    # serving layout (stack_encoder_runs): rel-pos tables precomputed so the
+    # scan body never gathers from the stacked (2G-1, hd) params in-loop
+    idx = np.arange(window)[:, None] - np.arange(window)[None, :] + window - 1
+    p["attn"]["rel_tab_h"] = p["attn"]["rel_pos_h"][:, idx]
+    p["attn"]["rel_tab_w"] = p["attn"]["rel_pos_w"][:, idx]
     return p
 
 
