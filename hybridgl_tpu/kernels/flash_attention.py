@@ -133,6 +133,114 @@ def flash_attention_rel_pos(
     )(q, k, v, rel_h_t, rel_w)
 
 
+def _flash_aug_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk: int):
+    """Tiled online-softmax attention whose score matmul ALREADY contains
+    the rel-pos bias (augmented contraction — see flash_attention_fused).
+    The body is a plain flash tile: one aligned MXU dot, no bias rebuild."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [TQ, lane] augmented (pre-scaled q | rel_h | rel_w | 0)
+    k = k_ref[0]  # [TK, lane] augmented (k | one_hot(kh) | one_hot(kw) | 0)
+    v = v_ref[0]  # [TK, lane_v]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # scores + bias
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[:] = l_scr[:] * alpha + p.sum(axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_side", "block_q", "block_k", "interpret")
+)
+def flash_attention_fused(
+    q: jax.Array,  # [BH, S, hd], S = grid_side**2, PRE-SCALED by 1/sqrt(hd)
+    k: jax.Array,
+    v: jax.Array,
+    rel_h: jax.Array,  # [BH, S, grid_side] bias term for the k-row axis
+    rel_w: jax.Array,  # [BH, S, grid_side] bias term for the k-col axis
+    grid_side: int,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Global-block flash attention with the decomposed rel-pos bias folded
+    into the score contraction (same augmentation as flash_windowed_fused,
+    but tiled with online softmax because S = 4096 scores don't fit VMEM).
+
+    q is augmented with its two rel terms and k with the static kh/kw
+    one-hots, so ``q_aug . k_aug`` = scores + bias in ONE K-aligned MXU dot
+    (lane = round_up(hd + 2G, 128) = 256 for ViT-H globals). The previous
+    kernel (flash_attention_rel_pos) contracted over the raw hd = 80 lanes
+    and rebuilt the bias tile from a transposed rel_h slice + G concats per
+    (q, k) tile — measured 10.4 ms/call for the 4 ViT-H global blocks vs
+    ~2 ms for this form (reference math: image_encoder.py:325-361).
+
+    Returns [BH, S, lane_v] with lane_v = round_up(hd, 128): each row's
+    first hd lanes are the attention output, the rest zeros — consume with
+    :func:`pad_windowed_proj` rows to skip the repack copy.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    BH, S, hd = q.shape
+    G = grid_side
+    assert S == G * G, (S, G)
+    assert S % block_q == 0 and S % block_k == 0
+    nq = S // block_q
+    nk = S // block_k
+    dt = q.dtype
+    lane = _round_up(hd + 2 * G, 128) if not interpret else hd + 2 * G
+    lane_v = _round_up(hd, 128) if not interpret else hd
+
+    pos = np.arange(S)
+    KH = jnp.asarray(np.eye(G, dtype=np.float32)[pos // G], dt)  # [S, G]
+    KW = jnp.asarray(np.eye(G, dtype=np.float32)[pos % G], dt)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([KH, KW], axis=-1)[None], (BH, S, 2 * G)
+    )
+    q_aug = jnp.concatenate([q, rel_h.astype(dt), rel_w.astype(dt)], axis=-1)
+    k_aug = jnp.concatenate([k, sel], axis=-1)
+    pad = lane - (hd + 2 * G)
+    if pad:
+        q_aug = jnp.pad(q_aug, ((0, 0), (0, 0), (0, pad)))
+        k_aug = jnp.pad(k_aug, ((0, 0), (0, 0), (0, pad)))
+    v_p = jnp.pad(v, ((0, 0), (0, 0), (0, lane_v - hd))) if lane_v != hd else v
+
+    kernel = functools.partial(_flash_aug_kernel, nk=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, lane), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, lane), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, lane_v), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, lane_v), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, S, lane_v), dt),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, lane_v), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_aug, k_aug, v_p)
+
+
 def _windowed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, lane: int):
     """One program = one window; heads unrolled inside, every slice a
     128-aligned lane block.

@@ -25,6 +25,15 @@ from .image_encoder import layer_norm_2d
 LN_EPS = 1e-5  # decoder transformer norms are default torch LayerNorm
 
 
+def use_fused_upscale() -> bool:
+    """Fused Pallas upscale+hypernetwork tail (kernels/upscale_hyper.py).
+    Default ON; opt OUT via $HYBRIDGL_FUSED_UPSCALE=0. Runs in interpret
+    mode on CPU (slow but exact), so tiny-model tests exercise it too."""
+    from ...utils.env import env_flag
+
+    return env_flag("HYBRIDGL_FUSED_UPSCALE", default=True)
+
+
 def _ln(p, x, eps=LN_EPS):
     dt = x.dtype
     x32 = x.astype(jnp.float32)
@@ -105,15 +114,19 @@ def _attn_shared_q(p, q_shared, k, v, num_heads: int):
     qh = q.reshape(Lq, num_heads, hd)
     kh = k.reshape(B, Lk, num_heads, hd)
     vh = v.reshape(B, Lk, num_heads, hd)
+    # score layout [B, n, Lk, Lq]: the softmax axis is the ~7-token Lk —
+    # keeping the 4096-token Lq MINOR means the f32 scores tile as
+    # (Lk, 128) with every lane live; the transposed [.., Lq, Lk] form pads
+    # Lk 7 -> 128 lanes (16x the HBM traffic on a [B, n, 4096, .] tensor)
     attn = jnp.einsum(
-        "qnd,bknd->bnqk", qh, kh, preferred_element_type=jnp.float32
+        "qnd,bknd->bnkq", qh, kh, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-    attn = jax.nn.softmax(attn, axis=-1).astype(k.dtype)
+    attn = jax.nn.softmax(attn, axis=2).astype(k.dtype)
     wo = p["out"]["w"].reshape(num_heads, hd, -1)
     vo = jnp.einsum(
         "bknd,nde->bkne", vh.astype(jnp.float32), wo.astype(jnp.float32)
     ).astype(k.dtype)
-    out = jnp.einsum("bnqk,bkne->bqe", attn, vo)
+    out = jnp.einsum("bnkq,bkne->bqe", attn, vo)
     return out + p["out"]["b"].astype(k.dtype)
 
 
@@ -193,17 +206,21 @@ def _i2t_attn(p, img_q_pe, k_tok, v_tok, num_heads: int):
     ).astype(dt)
     offset = jnp.einsum("hd,bthd->bht", bq.astype(jnp.float32), kh.astype(jnp.float32))
     scale = jax.lax.rsqrt(jnp.asarray(hd, jnp.float32))
+    # score layout [B, h, T, S]: softmax over the ~7 tokens rides the
+    # SUBLANE axis while the 4096 image tokens stay minor — the transposed
+    # [.., S, T] form pads T 7 -> 128 lanes (16x HBM traffic; see
+    # _attn_shared_q)
     scores = (
-        jnp.einsum("bqc,bthc->bhqt", img_q_pe, wk, preferred_element_type=jnp.float32)
-        + offset[:, :, None, :]
+        jnp.einsum("bqc,bthc->bhtq", img_q_pe, wk, preferred_element_type=jnp.float32)
+        + offset[:, :, :, None]
     ) * scale
-    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    attn = jax.nn.softmax(scores, axis=2).astype(dt)
     wo = p["out"]["w"].reshape(num_heads, hd, -1)
     # vo[b,t,h,:] = v_h[b,t,h,:] W_out[h]  (tiny)
     vo = jnp.einsum(
         "bthd,hde->bthe", vh.astype(jnp.float32), wo.astype(jnp.float32)
     ).astype(dt)
-    out = jnp.einsum("bhqt,bthe->bqe", attn, vo)
+    out = jnp.einsum("bhtq,bthe->bqe", attn, vo)
     return out + p["out"]["b"].astype(dt)
 
 
@@ -312,6 +329,15 @@ def predict_masks(
     C = cfg.prompt_dim
     nmt = cfg.num_mask_tokens
 
+    # run at the PARAM dtype (core/dtypes.py policy, same as encode_image):
+    # the prompt embeddings arrive f32 (sin/cos PE), and following the
+    # activation dtype silently upcast every decoder weight — the whole
+    # two-way transformer + upscale ran f32 under bf16 serving (2x HBM
+    # traffic, quarter-rate MXU; visible as f32[B,4096,256] streams in
+    # device traces). Mask logits / IoU still come out f32.
+    param_dt = jnp.asarray(p_dec["transformer"]["final_attn"]["q"]["w"]).dtype
+    sparse_prompts = sparse_prompts.astype(param_dt)
+
     output_tokens = jnp.concatenate([p_dec["iou_token"], p_dec["mask_tokens"]], axis=0)
     output_tokens = jnp.broadcast_to(output_tokens[None], (B, nmt + 1, C)).astype(
         sparse_prompts.dtype
@@ -343,22 +369,11 @@ def predict_masks(
     # Both deconvs have kernel == stride == 2 (non-overlapping windows), so
     # each is a per-pixel matmul; the spatial interleave is a pure
     # permutation that commutes with the bias/LN/GELU elementwise tail, so
-    # it is deferred all the way to the final hypernetwork einsum, which
-    # emits the true [4g, 4g] order directly. The [B, 4g, 4g, C/8] feature
-    # map (and its fp32 interleave copies) are never materialised.
+    # it is deferred all the way past the hypernetwork contraction.
     u1, u2 = p_dec["upscale"]["deconv1"], p_dec["upscale"]["deconv2"]
     c4, c8 = u1["w"].shape[-1], u2["w"].shape[-1]
-    up = src.reshape(B, g, g, C)
     w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)  # [C, i*j*c4]
-    x = jnp.einsum("bhwc,ck->bhwk", up, w1.astype(up.dtype))
-    x = x.reshape(B, g, g, 2, 2, c4) + u1["b"].astype(x.dtype)
-    x = layer_norm_2d(p_dec["upscale"]["ln"], x)  # channel LN: last-dim, any layout
-    x = jax.nn.gelu(x, approximate=False)
     w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)  # [c4, e*f*c8]
-    x = jnp.einsum("bhwijc,ck->bhwijk", x, w2.astype(x.dtype))
-    x = x.reshape(B, g, g, 2, 2, 2, 2, c8) + u2["b"].astype(x.dtype)
-    x = jax.nn.gelu(x, approximate=False)  # [b, h, w, i, j, e, f, c]
-
     hyper = jnp.stack(
         [
             _mlp_stack(p_dec["hyper_mlps"][i], mask_tokens_out[:, i, :])
@@ -367,10 +382,48 @@ def predict_masks(
         axis=1,
     )  # [B, nmt, C/8]
     g4 = 4 * g
-    # rows are (h, i, e) -> 4h+2i+e, cols (w, j, f) -> 4w+2j+f
-    masks = jnp.einsum(
-        "bmc,bhwijefc->bmhiewjf", hyper, x, preferred_element_type=jnp.float32
-    ).astype(jnp.float32).reshape(B, nmt, g4, g4)
+
+    if use_fused_upscale():
+        # Fused Pallas tail (kernels/upscale_hyper.py): the XLA blocked
+        # einsums materialise ~2 GB of 32-lane/2-sublane intermediates per
+        # 128-prompt chunk (~6% tile occupancy, ~25 of a ~32 ms decode
+        # chunk on v5e). The kernel keeps everything in VMEM as three
+        # row-parallel matmuls; one XLA transpose interleaves at the end.
+        from ...kernels.upscale_hyper import (
+            interleave_blocked_masks,
+            upscale_hyper_blocked,
+        )
+
+        dt = src.dtype
+        ln = p_dec["upscale"]["ln"]
+        w2bd = jnp.kron(jnp.eye(4, dtype=w2.dtype), w2)  # [4c4, 16c8]
+        hbd = jax.vmap(
+            lambda hyp: jnp.kron(jnp.eye(16, dtype=hyp.dtype), hyp.T)
+        )(hyper)  # [B, 16c8, 16m]
+        y = upscale_hyper_blocked(
+            src.reshape(B, g * g, C),
+            w1.astype(dt),
+            jnp.tile(u1["b"].astype(jnp.float32), 4),
+            jnp.tile(ln["scale"].astype(jnp.float32), 4),
+            jnp.tile(ln["bias"].astype(jnp.float32), 4),
+            w2bd.astype(dt),
+            jnp.tile(u2["b"].astype(jnp.float32), 16),
+            hbd.astype(dt),
+        )
+        masks = interleave_blocked_masks(y, g, nmt)
+    else:
+        up = src.reshape(B, g, g, C)
+        x = jnp.einsum("bhwc,ck->bhwk", up, w1.astype(up.dtype))
+        x = x.reshape(B, g, g, 2, 2, c4) + u1["b"].astype(x.dtype)
+        x = layer_norm_2d(p_dec["upscale"]["ln"], x)  # channel LN: last-dim
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.einsum("bhwijc,ck->bhwijk", x, w2.astype(x.dtype))
+        x = x.reshape(B, g, g, 2, 2, 2, 2, c8) + u2["b"].astype(x.dtype)
+        x = jax.nn.gelu(x, approximate=False)  # [b, h, w, i, j, e, f, c]
+        # rows are (h, i, e) -> 4h+2i+e, cols (w, j, f) -> 4w+2j+f
+        masks = jnp.einsum(
+            "bmc,bhwijefc->bmhiewjf", hyper, x, preferred_element_type=jnp.float32
+        ).astype(jnp.float32).reshape(B, nmt, g4, g4)
 
     iou_pred = _mlp_stack(p_dec["iou_head"], iou_token_out).astype(jnp.float32)
 

@@ -161,9 +161,14 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
     q, k, v = heads(q), heads(k), heads(v)
 
     if size >= 32 and use_flash_attention():
-        # fold the decomposed rel-pos bias into the Pallas flash kernel:
-        # precompute the two rank-G terms from q (tiny), never materialise
-        # the [S, S] bias or attention matrix
+        # fold the decomposed rel-pos bias into the Pallas flash kernel via
+        # augmented contraction: precompute the two rank-G terms from q
+        # (tiny), never materialise the [S, S] bias or attention matrix
+        from ...kernels.flash_attention import (
+            flash_attention_fused,
+            pad_windowed_proj,
+        )
+
         Rh, Rw = _rel_tables(p_attn, size, x.dtype)
         S = size * size
         r_q = q.reshape(B, num_heads, size, size, hd)
@@ -173,17 +178,20 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
         rel_w = jnp.einsum(
             "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
         ).reshape(B * num_heads, S, size)
-        from ...kernels.flash_attention import flash_attention_rel_pos
-
-        out = flash_attention_rel_pos(
+        out = flash_attention_fused(
             (q * scale).reshape(B * num_heads, S, hd),
             k.reshape(B * num_heads, S, hd),
             v.reshape(B * num_heads, S, hd),
             rel_h.astype(x.dtype),
             rel_w.astype(x.dtype),
             size,
-        )
-        out = out.reshape(B, num_heads, S, hd)
+        )  # [B*H, S, lane_v] head-padded
+        lane_v = out.shape[-1]
+        out = out.reshape(B, num_heads, S, lane_v).transpose(0, 2, 1, 3)
+        out = out.reshape(B, S, num_heads * lane_v)
+        proj_w = pad_windowed_proj(p_attn["proj_w"].astype(x.dtype), num_heads, lane_v)
+        out = out @ proj_w + p_attn["proj_b"].astype(x.dtype)
+        return out.reshape(B, size, size, D)
     else:
         # Attention entirely in the FACTORED position view: scores are
         # produced, biased, softmaxed and consumed as

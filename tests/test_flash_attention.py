@@ -138,3 +138,59 @@ def test_flash_extreme_logits_stable(rng):
         )
     )
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("block_q,block_k", [(32, 32), (64, 16), (16, 64)])
+def test_flash_fused_matches_reference(rng, block_q, block_k):
+    # the augmented-contraction tiled kernel (global blocks' serving path)
+    from hybridgl_tpu.kernels.flash_attention import flash_attention_fused
+
+    G = 8
+    S = G * G
+    BH, hd = 3, 16
+    q = rng.standard_normal((BH, S, hd), dtype=np.float32) * 0.3
+    k = rng.standard_normal((BH, S, hd), dtype=np.float32) * 0.3
+    v = rng.standard_normal((BH, S, hd), dtype=np.float32)
+    rel_h = rng.standard_normal((BH, S, G), dtype=np.float32) * 0.5
+    rel_w = rng.standard_normal((BH, S, G), dtype=np.float32) * 0.5
+    ref = np.asarray(
+        reference_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(rel_h), jnp.asarray(rel_w), G,
+        )
+    )
+    out = np.asarray(
+        flash_attention_fused(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(rel_h), jnp.asarray(rel_w), G,
+            block_q=block_q, block_k=block_k, interpret=True,
+        )
+    )
+    assert out.shape == (BH, S, hd)  # interpret mode: lane_v == hd
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_fused_extreme_logits_stable(rng):
+    from hybridgl_tpu.kernels.flash_attention import flash_attention_fused
+
+    G, BH, hd = 8, 1, 8
+    S = G * G
+    q = rng.standard_normal((BH, S, hd), dtype=np.float32) * 30
+    k = rng.standard_normal((BH, S, hd), dtype=np.float32) * 30
+    v = rng.standard_normal((BH, S, hd), dtype=np.float32)
+    zeros = np.zeros((BH, S, G), np.float32)
+    out = np.asarray(
+        flash_attention_fused(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(zeros), jnp.asarray(zeros), G,
+            block_q=16, block_k=16, interpret=True,
+        )
+    )
+    assert np.isfinite(out).all()
+    ref = np.asarray(
+        reference_attention_rel_pos(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(zeros), jnp.asarray(zeros), G,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
