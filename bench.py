@@ -66,6 +66,13 @@ def main():
         amg = AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0)
     if os.environ.get("BENCH_PPB"):  # decode batch A/B (result-invariant)
         amg = dataclasses.replace(amg, points_per_batch=int(os.environ["BENCH_PPB"]))
+    if os.environ.get("BENCH_MIN_AREA") is not None:  # cleanup-path A/B:
+        # BENCH_MIN_AREA=0 disables the host cleanup and with it the
+        # packed-mask device->host download (~3.3 MB/img over a ~13 MB/s
+        # tunnel) — isolates how much of the e2e wall is that transfer
+        amg = dataclasses.replace(
+            amg, min_mask_region_area=int(os.environ["BENCH_MIN_AREA"])
+        )
     cfg = PipelineConfig(sam_model=sam_model, fusion_mode="G2L", amg=amg)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     # serve in bf16 (params); activations follow. Init + cast run as ONE

@@ -133,6 +133,7 @@ def postprocess_small_regions(
     nms_thresh: float,
     return_changed: bool = False,
     hw=None,
+    inplace_masks: bool = False,
 ) -> Proposals:
     """Host pass over a numpy-materialised Proposals bundle. Suppressed
     duplicates are invalidated in place (static shapes preserved); kept
@@ -155,7 +156,9 @@ def postprocess_small_regions(
     if n == 0 or min_area <= 0:
         return (props, False) if return_changed else props
 
-    new_masks = masks.copy()
+    # the full-frame copy is ~26 MB; callers that own the buffer (the
+    # runner unpacks a fresh one per image) skip it via inplace_masks
+    new_masks = masks if inplace_masks else masks.copy()
     changed_flags = np.zeros(len(masks), bool)
     new_boxes = {}
     new_areas = {}

@@ -21,6 +21,7 @@ stage is one dispatch.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Sequence
@@ -59,6 +60,18 @@ from .postprocess import (
     postprocess_small_regions as postprocess_small_regions_host,
 )
 from .preprocess import build_crops
+
+
+# rows of the packed-mask buffer prefetched at dispatch (see proposal_stage)
+_PACKED_HEAD = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_slice_jit(bucket: int):
+    """Cached per-bucket jit: device-side row slice of the packed masks
+    (one tiny program per power-of-2 bucket; sliced rows then move
+    device->host instead of the whole [P, C, C/8] buffer)."""
+    return jax.jit(lambda p: p[:bucket])
 
 
 class ImageSample(NamedTuple):
@@ -203,7 +216,13 @@ class HybridGLPipeline:
                     props.valid.astype(jnp.int32),
                 ]
             )
-            return props, packed, aux, meta
+            # the head slice prefetches at dispatch: NMS survival is often
+            # << P (degenerate inputs keep ~1 box), so most images' cleanup
+            # needs only these rows — the full [P, C, C/8] buffer stays on
+            # device and a bucket slice is fetched on demand (see
+            # _cleanup_host), keeping ~3 MB/img off the slow tunnel
+            packed_head = packed[:_PACKED_HEAD] if packed is not None else None
+            return props, packed, packed_head, aux, meta
 
         def feature_stage(clip_params, props, image_c, h, w):
             glob, local = build_crops(
@@ -386,20 +405,40 @@ class HybridGLPipeline:
         (reference: automatic_mask_generator.py:166-171 applies it whenever
         min_mask_region_area > 0 — true for both driver configs)."""
         with self._span("proposals"):
-            props, packed, aux, meta, _ = self._dispatch_proposals(sample)
-        return self._finish_props(props, packed, aux, meta, (sample.h, sample.w))
+            props, packed, packed_head, aux, meta, _ = self._dispatch_proposals(sample)
+        return self._finish_props(
+            props, packed, packed_head, aux, meta, (sample.h, sample.w)
+        )
 
-    def _cleanup_host(self, props: Proposals, hw, packed, aux) -> Proposals:
-        """Host small-region cleanup with bit-packed mask transfers:
-        [P, C, C] bool moves as packed uint8 (8x less host<->device
-        traffic — the dominant cost of this stage on tunneled TPUs).
-        ``packed`` and ``aux`` were produced inside the proposal dispatch
-        and async-copied at dispatch time (see proposal_stage /
-        _dispatch_proposals), so neither transfer queues behind the next
-        image's device work nor pays a per-field round-trip."""
+    def _cleanup_host(self, props: Proposals, hw, packed, packed_head, aux) -> Proposals:
+        """Host small-region cleanup with bit-packed, LIVE-ROW-BUCKETED
+        mask transfers: [P, C, C] bool moves as packed uint8 (8x) and only
+        a power-of-2 bucket of the live rows crosses the tunnel — the head
+        rows were already prefetched at dispatch, so the common degenerate-
+        survival case pays no extra transfer at all, and even a full bucket
+        moves ~3 MB/img less device->host pressure on average.
+        ``aux``/``packed_head`` were async-copied at dispatch time (see
+        proposal_stage / _dispatch_proposals)."""
         C = self.cfg.canonical_size
         P = int(props.masks.shape[0])
-        masks_np = np.unpackbits(np.asarray(packed), axis=-1, count=C).astype(bool)
+        # Unpack ONLY the live rows (NMS survival is often << P), and VIEW
+        # the uint8 0/1 output as bool instead of astype — each avoided
+        # full-frame pass is ~26 MB of host memory traffic, which dominates
+        # this stage whenever the shared host is CPU-starved.
+        valid_np = np.asarray(props.valid)
+        n_live = int(valid_np.nonzero()[0][-1]) + 1 if valid_np.any() else 0
+        if n_live <= _PACKED_HEAD:
+            packed_np = np.asarray(packed_head)  # prefetched at dispatch
+        else:
+            bucket = _PACKED_HEAD
+            while bucket < n_live:
+                bucket *= 2
+            bucket = min(bucket, P)
+            packed_np = np.asarray(_packed_slice_jit(bucket)(packed))
+        masks_np = np.zeros((P, C, C), np.uint8)
+        if n_live > 0:
+            masks_np[:n_live] = np.unpackbits(packed_np[:n_live], axis=-1, count=C)
+        masks_np = masks_np.view(np.bool_)
         a = np.asarray(aux)
         host_props = Proposals(
             masks=masks_np,
@@ -408,7 +447,7 @@ class HybridGLPipeline:
             stability=a[P * 5 : P * 6],
             points=a[P * 6 : P * 8].reshape(P, 2),
             areas=a[P * 8 : P * 9],
-            valid=np.asarray(props.valid),  # numpy already (from meta)
+            valid=valid_np,  # numpy already (from meta)
             num=np.asarray(props.num),
             overflow=props.overflow,
         )
@@ -418,13 +457,17 @@ class HybridGLPipeline:
             max(self.cfg.amg.box_nms_thresh, self.cfg.amg.crop_nms_thresh),
             return_changed=True,
             hw=hw,
+            inplace_masks=True,  # masks_np is this call's own buffer
         )
         if not changed:
             # nothing modified or suppressed (the common case with real
             # weights): keep the device-resident originals, skip re-upload
             return props
+        repacked = np.zeros((P, C, C // 8), np.uint8)
+        if n_live > 0:  # rows past the last live index stayed all-False
+            repacked[:n_live] = np.packbits(out.masks[:n_live], axis=-1)
         dev_masks = jnp.unpackbits(
-            jnp.asarray(np.packbits(out.masks, axis=-1)), axis=-1, count=C
+            jnp.asarray(repacked), axis=-1, count=C
         ).astype(bool)
         # small fields stay numpy: jit re-uploads them per call (cheap on
         # the fast host->device direction) and the host never needs another
@@ -451,7 +494,7 @@ class HybridGLPipeline:
         # re-uploading ~1.2 MB over the tunnel (carried explicitly — an
         # id(sample)-keyed cache could alias a freed sample's id)
         image_c = jnp.asarray(sample.image_canonical)
-        props, packed, aux, meta = self._proposal_stage(
+        props, packed, packed_head, aux, meta = self._proposal_stage(
             self.sam_params,
             jnp.asarray(sample.image_1024),
             sample.rh,
@@ -460,19 +503,22 @@ class HybridGLPipeline:
             sample.h,
             sample.w,
         )
-        # packed/aux prefetch is unconditional even though zero-survivor
+        # head/aux prefetch is unconditional even though zero-survivor
         # images never consume them: gating on num would need a synchronous
         # meta read here, stalling every image ~36 ms (tunnel RTT) to save
-        # a rare wasted 3.3 MB overlapped transfer
-        for buf in (packed, aux, meta):
+        # a rare wasted overlapped transfer. Only the HEAD rows of the
+        # packed masks prefetch — the full buffer moves on demand.
+        for buf in (packed_head, aux, meta):
             if buf is not None:
                 try:
                     buf.copy_to_host_async()
                 except Exception:
                     pass  # platforms without async host copies
-        return props, packed, aux, meta, image_c
+        return props, packed, packed_head, aux, meta, image_c
 
-    def _finish_props(self, props: Proposals, packed, aux, meta, hw) -> Proposals:
+    def _finish_props(
+        self, props: Proposals, packed, packed_head, aux, meta, hw
+    ) -> Proposals:
         # One host read covers num + overflow + valid (see proposal_stage);
         # the values replace the device scalars in the bundle so later
         # stages never pay another synchronous tunnel round-trip for them.
@@ -500,7 +546,7 @@ class HybridGLPipeline:
         if self.cfg.amg.min_mask_region_area > 0 and not self._device_cleanup:
             with self._span("small_region_cleanup"):
                 if int(props.num) > 0:
-                    props = self._cleanup_host(props, hw, packed, aux)
+                    props = self._cleanup_host(props, hw, packed, packed_head, aux)
         if self.survival_hook is not None:
             # benchmarking/testing knob: override proposal survival after
             # the stage (bench.py uses it to drive representative bucket
@@ -515,10 +561,12 @@ class HybridGLPipeline:
         (sample, results) pairs — or (sample, results, proposals) with
         ``yield_props`` (for visualisation) — and mutates ``state``.
         """
-        pending = None  # (sample, in-flight proposals, packed, aux, meta, image_c)
+        pending = None  # (sample, proposals, packed, packed_head, aux, meta, image_c)
 
-        def emit(smp, raw_props, packed, aux, meta, image_c):
-            props = self._finish_props(raw_props, packed, aux, meta, (smp.h, smp.w))
+        def emit(smp, raw_props, packed, packed_head, aux, meta, image_c):
+            props = self._finish_props(
+                raw_props, packed, packed_head, aux, meta, (smp.h, smp.w)
+            )
             results = self._score_image(smp, props, state, image_c=image_c)
             return (smp, results, props) if yield_props else (smp, results)
 

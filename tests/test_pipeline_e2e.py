@@ -163,3 +163,65 @@ def test_pipeline_multicrop_config():
     results = pipe.run_image(make_sample(rng, sam_cfg), state)
     assert len(results) == 2
     assert int(state.final.count) == 2
+
+
+def test_cleanup_host_bucketed_transfer(pipeline):
+    """_cleanup_host with P > the prefetched head must fetch a bucket slice
+    and rebuild FULL-shape device masks (regression: a changed mask once
+    rebuilt a head-shaped [8, C, C] bundle when P was 16)."""
+    import jax.numpy as jnp
+    from hybridgl_tpu.models.sam.amg import Proposals
+    from hybridgl_tpu.pipeline.postprocess import postprocess_small_regions
+
+    C = pipeline.cfg.canonical_size
+    P = 16
+    h, w = 24, 32
+    rng = np.random.default_rng(3)
+    masks = np.zeros((P, C, C), bool)
+    # 12 live masks: a solid block with a small hole (cleanup fills it) so
+    # changed=True and the full rebuild path runs
+    for i in range(12):
+        masks[i, 2:20, 2:26] = True
+        masks[i, 8 + (i % 4), 10] = False
+    valid = np.zeros(P, bool)
+    valid[:12] = True
+    boxes = np.zeros((P, 4), np.float32)
+    boxes[:12] = [2, 2, 25, 19]
+    props = Proposals(
+        masks=jnp.asarray(masks),
+        boxes_xyxy=jnp.asarray(boxes),
+        iou_preds=jnp.ones(P, jnp.float32),
+        stability=jnp.ones(P, jnp.float32),
+        points=jnp.zeros((P, 2), jnp.float32),
+        areas=jnp.asarray(masks.sum((-2, -1)), jnp.float32),
+        valid=np.asarray(valid),
+        num=np.int32(12),
+        overflow=np.int32(0),
+    )
+    packed = jnp.asarray(np.packbits(masks, axis=-1))
+    packed_head = packed[:8]
+    aux = jnp.concatenate(
+        [
+            jnp.asarray(boxes.ravel()),
+            jnp.ones(P, jnp.float32),
+            jnp.ones(P, jnp.float32),
+            jnp.zeros(P * 2, jnp.float32),
+            jnp.asarray(masks.sum((-2, -1)), jnp.float32),
+        ]
+    )
+    # min_mask_region_area must be > hole size for the fill to trigger
+    old_area = pipeline.cfg.amg.min_mask_region_area
+    assert old_area > 1
+    out = pipeline._cleanup_host(props, (h, w), packed, packed_head, aux)
+    assert out.masks.shape == (P, C, C)
+    assert out.valid.shape == (P,)
+    want, changed = postprocess_small_regions(
+        props._replace(masks=masks),
+        old_area,
+        max(pipeline.cfg.amg.box_nms_thresh, pipeline.cfg.amg.crop_nms_thresh),
+        return_changed=True,
+        hw=(h, w),
+    )
+    assert changed
+    np.testing.assert_array_equal(np.asarray(out.masks), np.asarray(want.masks))
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(want.valid))
