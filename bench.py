@@ -173,10 +173,12 @@ def main():
             # warmup (compiles the bucket specialisations)
             for s in samples:
                 realistic_pipe.run_image(s, r_state)
-            os.environ["HYBRIDGL_NO_BUCKETING"] = "1"
         except Exception as e:  # never lose the main metric to this mode
             print(f"# realistic-survival warmup failed: {e!r}", file=sys.stderr)
             realistic_pipe = None
+        finally:
+            # the main timed reps MUST run unbucketed even if warmup threw
+            os.environ["HYBRIDGL_NO_BUCKETING"] = "1"
 
     # INTERLEAVED reps: the tunnel's health drifts within a run, so
     # alternating full/realistic passes keeps the two medians comparable

@@ -31,19 +31,8 @@ def mask_to_box(masks: jax.Array) -> jax.Array:
 
     (reference math: utils/amg.py:303-346.)
     """
-    H, W = masks.shape[-2], masks.shape[-1]
     m = masks.astype(bool)
-    in_h = m.any(axis=-1)  # [..., H]
-    in_w = m.any(axis=-2)  # [..., W]
-    hh = jnp.arange(H)
-    ww = jnp.arange(W)
-    bottom = jnp.max(jnp.where(in_h, hh, -1), axis=-1)
-    top = jnp.min(jnp.where(in_h, hh, H), axis=-1)
-    right = jnp.max(jnp.where(in_w, ww, -1), axis=-1)
-    left = jnp.min(jnp.where(in_w, ww, W), axis=-1)
-    empty = ~m.any(axis=(-2, -1))
-    box = jnp.stack([left, top, right, bottom], axis=-1).astype(jnp.float32)
-    return jnp.where(empty[..., None], 0.0, box)
+    return box_from_profiles(m.any(axis=-1), m.any(axis=-2))
 
 
 def box_from_profiles(in_h: jax.Array, in_w: jax.Array) -> jax.Array:

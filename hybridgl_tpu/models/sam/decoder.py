@@ -246,7 +246,9 @@ def two_way_transformer(
     queries = point_embedding
     if shared_image:
         layer0 = p["layers"][0]
-        queries = queries + _attn(layer0["self_attn"], queries, queries, queries, h)
+        # layer 0 REPLACES queries with the self-attention output — no
+        # residual (reference transformer.py:155-156, skip_first_layer_pe)
+        queries = _attn(layer0["self_attn"], queries, queries, queries, h)
         queries = _ln(layer0["norm1"], queries)
 
         q = queries + point_embedding
@@ -273,7 +275,8 @@ def two_way_transformer(
 
     for i, layer in enumerate(layers, first):
         if i == 0:
-            queries = queries + _attn(layer["self_attn"], queries, queries, queries, h)
+            # no residual on the first layer (transformer.py:155-156)
+            queries = _attn(layer["self_attn"], queries, queries, queries, h)
         else:
             q = queries + point_embedding
             queries = queries + _attn(layer["self_attn"], q, q, queries, h)

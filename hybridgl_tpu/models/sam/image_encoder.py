@@ -98,8 +98,11 @@ def use_flash_attention() -> bool:
     the kernel at ~12 ms vs ~23 ms for the 4 global blocks against even
     the factored-view XLA attention (round 1's e2e A/B that kept it off —
     1.33 vs 1.25 img/s — predates the factored view and was within the
-    tunnel's noise band). Only engages for size >= 32, so the 14x14
-    windowed blocks and tiny test configs keep the XLA path.
+    tunnel's noise band). Sizes >= 32 use the tiled augmented-contraction
+    kernel (flash_attention_fused); windowed sizes 8..31 use the
+    whole-window fused kernel when use_flash_windowed() also allows it
+    (HYBRIDGL_FLASH_WINDOWED=0 turns just the windowed kernel off);
+    smaller sizes keep the factored XLA path.
     """
     from ...utils.env import env_flag
 

@@ -404,11 +404,21 @@ class HybridGLPipeline:
         """SAM proposal generation + (optional) host small-region cleanup
         (reference: automatic_mask_generator.py:166-171 applies it whenever
         min_mask_region_area > 0 — true for both driver configs)."""
+        props, _ = self._propose_with_image(sample)
+        return props
+
+    def _propose_with_image(self, sample: ImageSample):
+        """propose() that also returns the uploaded canonical-image device
+        buffer so single-image callers (run_image) reuse it instead of
+        re-uploading ~1.2 MB per image in _score_image."""
         with self._span("proposals"):
-            props, packed, packed_head, aux, meta, _ = self._dispatch_proposals(sample)
-        return self._finish_props(
+            props, packed, packed_head, aux, meta, image_c = (
+                self._dispatch_proposals(sample)
+            )
+        props = self._finish_props(
             props, packed, packed_head, aux, meta, (sample.h, sample.w)
         )
+        return props, image_c
 
     def _cleanup_host(self, props: Proposals, hw, packed, packed_head, aux) -> Proposals:
         """Host small-region cleanup with bit-packed, LIVE-ROW-BUCKETED
@@ -583,8 +593,8 @@ class HybridGLPipeline:
         self, sample: ImageSample, state: PipelineState
     ) -> List[SentenceResult]:
         """Process one image; mutates ``state`` accumulators (host loop)."""
-        props = self.propose(sample)
-        return self._score_image(sample, props, state)
+        props, image_c = self._propose_with_image(sample)
+        return self._score_image(sample, props, state, image_c=image_c)
 
     # (proposal dispatches return (props, packed-mask) pairs; see
     # proposal_stage for why packing happens inside the jit)

@@ -233,7 +233,9 @@ class TwoWayBlock(nn.Module):
 
     def forward(self, queries, keys, qpe, kpe):
         if self.skip_pe:
-            queries = queries + self.self_attn(queries, queries, queries)
+            # layer 0 REPLACES queries (no residual) — reference
+            # transformer.py:155-156 skip_first_layer_pe branch
+            queries = self.self_attn(queries, queries, queries)
         else:
             q = queries + qpe
             queries = queries + self.self_attn(q, q, queries)
