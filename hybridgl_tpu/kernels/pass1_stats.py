@@ -9,10 +9,12 @@ from are a linear map of the 256^2 decoder output
 frame in HBM (~800 MB per 192-candidate chunk, re-read by every
 reduction) is pure waste.
 
-This kernel consumes the HALF-transformed logits
-``tmp = einsum("brc,pc->brp", low, Wx)`` ([B, n, C], 4x smaller) plus the
-row matrix ``Wy`` ([C, n]), completes the second matmul ONE ROW-TILE AT A
-TIME in VMEM, thresholds and accumulates in place, and writes only:
+This kernel consumes the RAW low-res logits ([B, n, n2]) plus both
+composed axis matrices: the column transform runs once per candidate in
+VMEM (``tmp = low @ WxT``, [n, C] — the [B, n, C] f32 half-transform is
+~400 MB/chunk at the PhraseCut frame and used to round-trip HBM), then
+the row matmul completes ONE ROW-TILE AT A TIME, thresholds and
+accumulates in place, and writes only:
 
   counts   [B, 2]  f32  — #(logit > thresh+offset), #(logit > thresh-offset)
   row_any  [B, C]  f32  — 0/1 per output row:    any(logit > thresh)
@@ -36,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _stats_kernel(
     win_ref,  # SMEM [4] f32: y0, x0, dh, dw
-    tmp_ref,  # [1, n, C] f32
+    low_ref,  # [1, n, n2] raw decoder logits (any float dtype)
+    wxt_ref,  # [n2, C] f32 column transform (same block for every program)
     wy_ref,  # [C, n] f32 (same block for every program)
     counts_ref,  # [1, 1, 128] f32 (col 0 = hi, col 1 = lo)
     rowany_ref,  # [1, 1, C] f32
@@ -52,7 +55,13 @@ def _stats_kernel(
     x0 = win_ref[1]
     dh = win_ref[2]
     dw = win_ref[3]
-    tmp = tmp_ref[0]  # [n, C]
+    # column half-transform in VMEM (exactly the einsum the callers used
+    # to materialise in HBM, f32 like before)
+    tmp = jnp.dot(
+        low_ref[0].astype(jnp.float32),
+        wxt_ref[...],
+        preferred_element_type=jnp.float32,
+    )  # [n, C]
     # NB: tpu.iota is integer-only; cast after (f32 compares against the
     # SMEM window scalars)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(jnp.float32)
@@ -90,7 +99,8 @@ def _stats_kernel(
     jax.jit, static_argnames=("thresh", "offset", "tile", "interpret")
 )
 def pass1_stats(
-    tmp: jax.Array,  # [B, n, C] f32: low @ Wx^T
+    low: jax.Array,  # [B, n, n2] raw decoder logits (bf16/f32)
+    WxT: jax.Array,  # [n2, C] f32 composed column weights (transposed)
     Wy: jax.Array,  # [C, n] f32 composed row weights
     window,  # (y0, x0, dh, dw) traced scalars: placed region in the frame
     thresh: float,
@@ -105,7 +115,9 @@ def pass1_stats(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    B, n, C = tmp.shape
+    B, n, n2 = low.shape
+    C = WxT.shape[1]
+    assert WxT.shape == (n2, C), (WxT.shape, (n2, C))
     assert Wy.shape == (C, n), (Wy.shape, (C, n))
     if C % tile:
         tile = C  # tiny test frames: single tile
@@ -120,7 +132,8 @@ def pass1_stats(
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, n, n2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((n2, C), lambda b: (0, 0)),
             pl.BlockSpec((C, n), lambda b: (0, 0)),
         ],
         out_specs=[
@@ -134,6 +147,6 @@ def pass1_stats(
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         interpret=interpret,
-    )(win, tmp, Wy)
+    )(win, low, WxT.astype(jnp.float32), Wy)
     stab = counts[:, 0, 0] / jnp.maximum(counts[:, 0, 1], 1.0)
     return stab, row_any[:, 0] > 0.5, col_any[:, 0] > 0.5

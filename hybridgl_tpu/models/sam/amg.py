@@ -168,11 +168,12 @@ def generate_proposals(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
         )  # [B, 3, 256, 256], [B, 3]
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        tmp = jnp.einsum(
-            "brc,pc->brp", flat.astype(jnp.float32), Wx,
-        )  # [B*M, 256, C]
+        # both composed-resize matmuls run INSIDE the stats kernel — the
+        # [B*M, 256, C] f32 half-transform (~400 MB/chunk at C=1024) is
+        # never materialised in HBM
         stab, row_any, col_any = pass1_stats(
-            tmp,
+            flat,
+            Wx.T,
             Wy,
             (0, 0, h, w),
             sam_cfg.mask_threshold,
@@ -324,9 +325,9 @@ def _score_crop_candidates(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
         )
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        tmp = jnp.einsum("brc,pc->brp", flat.astype(jnp.float32), Wx)
         stab, row_any, col_any = pass1_stats(
-            tmp,
+            flat,
+            Wx.T,
             Wy,
             (y0, x0, ch, cw),
             sam_cfg.mask_threshold,

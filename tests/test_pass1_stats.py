@@ -36,9 +36,8 @@ def test_pass1_stats_matches_materialised_chain(rng, C, mid, window):
 
     Wy = _composed_axis_weights(C, n, mid, rh, y0, dh)
     Wx = _composed_axis_weights(C, n, mid, rw, x0, dw)
-    tmp = jnp.einsum("brc,pc->brp", jnp.asarray(low), Wx)
     stab, row_any, col_any = pass1_stats(
-        tmp, Wy, (y0, x0, dh, dw), thresh, offset
+        jnp.asarray(low), Wx.T, Wy, (y0, x0, dh, dw), thresh, offset
     )
     boxes = box_from_profiles(row_any, col_any)
 
@@ -60,7 +59,8 @@ def test_pass1_stats_zero_lo_is_filtered_like_nan(rng):
     low = np.full((B, n, n), -100.0, np.float32)
     Wy = _composed_axis_weights(C, n, mid, mid, 0, 50)
     Wx = _composed_axis_weights(C, n, mid, mid, 0, 50)
-    tmp = jnp.einsum("brc,pc->brp", jnp.asarray(low), Wx)
-    stab, row_any, _ = pass1_stats(tmp, Wy, (0, 0, 50, 50), 0.0, 1.0)
+    stab, row_any, _ = pass1_stats(
+        jnp.asarray(low), Wx.T, Wy, (0, 0, 50, 50), 0.0, 1.0
+    )
     assert not bool(row_any.any())
     assert np.all(np.asarray(stab) == 0.0)
