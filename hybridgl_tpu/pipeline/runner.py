@@ -143,6 +143,7 @@ class HybridGLPipeline:
         self.timer = None  # optional utils.profiling.StageTimer
         self.survival_hook = None  # optional Proposals -> Proposals override
         self._warned_overflow = False
+        self._sentence_rows = {}  # sentence -> parsed/tokenized row cache
         self._build_stages()
 
     # ------------------------------------------------------------------ jit
@@ -679,10 +680,14 @@ class HybridGLPipeline:
         with self._span("parse+tokenize"):
             rows = []
             for sentence in sample.sentences:
-                parsed = self.parser.parse(sentence)
-                toks_all, n_others = self._tokenize_parsed(parsed)
-                rows.append(
-                    (
+                # parse + BPE are deterministic per sentence; referring
+                # expressions repeat across refs (and the single-core host
+                # pays ~45 ms/img here), so memoise per pipeline
+                row = self._sentence_rows.get(sentence)
+                if row is None:
+                    parsed = self.parser.parse(sentence)
+                    toks_all, n_others = self._tokenize_parsed(parsed)
+                    row = (
                         toks_all,
                         n_others,
                         dir_flag_id(parsed.dir_flag),
@@ -690,7 +695,9 @@ class HybridGLPipeline:
                         self._black(parsed.rela_flag),
                         parsed.has_other_nouns,
                     )
-                )
+                    if len(self._sentence_rows) < 65536:  # bound memory
+                        self._sentence_rows[sentence] = row
+                rows.append(row)
 
         # Default: one async dispatch per sentence. The vmapped single-
         # dispatch variant (HYBRIDGL_BATCH_SENTENCES=1) halves the
