@@ -224,6 +224,93 @@ def _i2t_attn(p, img_q_pe, k_tok, v_tok, num_heads: int):
     return out + p["out"]["b"].astype(dt)
 
 
+def _tp_for(T: int) -> int:
+    """Padded tokens per head group for the fused i2t kernel (>= T,
+    power of two, min 8 so SAM's 7 prompt tokens use one 8-lane group)."""
+    tp = 8
+    while tp < T:
+        tp *= 2
+    return tp
+
+
+def use_fused_i2t() -> bool:
+    """Fused image->token attention + norm4 (kernels/decoder_attn.py).
+    Default ON; opt OUT via $HYBRIDGL_FUSED_I2T=0."""
+    from ...utils.env import env_flag
+
+    return env_flag("HYBRIDGL_FUSED_I2T", default=True)
+
+
+def _i2t_prep_generic(p, k_tok, v_tok, num_heads: int, tp: int):
+    """(score_w [B,C,GT], off [B,GT], vo [B,GT,C], const [C]) for the
+    generic image->token site (qside = unprojected kpe): exactly
+    _i2t_attn's side-switched weights with the 1/sqrt(hd) scale folded in
+    and the token axis padded to ``tp`` per head (padding scores -1e30)."""
+    kh = _lin(p["k"], k_tok)
+    vh = _lin(p["v"], v_tok)
+    B, T, D = kh.shape
+    hd = D // num_heads
+    kh = kh.reshape(B, T, num_heads, hd)
+    vh = vh.reshape(B, T, num_heads, hd)
+    wq, bq = _heads_w(p["q"], num_heads)
+    scale = hd**-0.5
+    wk = jnp.einsum(
+        "chd,bthd->bhtc", wq.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * scale  # [B,h,T,C]
+    off = jnp.einsum(
+        "hd,bthd->bht", bq.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * scale
+    wo = p["out"]["w"].reshape(num_heads, hd, -1)
+    vo = jnp.einsum(
+        "bthd,hde->bhte", vh.astype(jnp.float32), wo.astype(jnp.float32)
+    )  # [B,h,T,C]
+    pad = tp - T
+    w_full = jnp.pad(wk, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    off_full = jnp.pad(off, ((0, 0), (0, 0), (0, pad)), constant_values=-1e30)
+    vo_full = jnp.pad(vo, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    GT = num_heads * tp
+    C = k_tok.shape[-1]
+    return (
+        w_full.transpose(0, 3, 1, 2).reshape(B, C, GT),
+        off_full.reshape(B, GT),
+        vo_full.reshape(B, GT, -1),
+        p["out"]["b"].astype(jnp.float32),
+    )
+
+
+def _i2t_prep_shared_q(p, k_tok, v_tok, num_heads: int, tp: int):
+    """Same outputs for the layer-0 shared-q site (qside = the ONCE-
+    projected image queries): the score weights are the block-diagonal
+    per-head key projections (_attn_shared_q's contraction)."""
+    kh = _lin(p["k"], k_tok)
+    vh = _lin(p["v"], v_tok)
+    B, T, D = kh.shape
+    hd = D // num_heads
+    scale = hd**-0.5
+    kh = kh.reshape(B, T, num_heads, hd).astype(jnp.float32) * scale
+    vh = vh.reshape(B, T, num_heads, hd)
+    eye = jnp.eye(num_heads, dtype=jnp.float32)
+    # W[b, (n,d), (m,t)] = delta_nm kh[b,t,n,d]
+    w_bd = jnp.einsum("btnd,nm->bndmt", kh, eye)  # [B,n,hd,n,T]
+    pad = tp - T
+    w_bd = jnp.pad(w_bd, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
+    GT = num_heads * tp
+    w_full = w_bd.reshape(B, D, GT)
+    off = jnp.zeros((B, num_heads, tp), jnp.float32)
+    off = off.at[:, :, T:].set(-1e30) if pad else off
+    wo = p["out"]["w"].reshape(num_heads, hd, -1)
+    vo = jnp.einsum(
+        "btnd,nde->bnte", vh.astype(jnp.float32), wo.astype(jnp.float32)
+    )  # [B,n,T,C]
+    vo_full = jnp.pad(vo, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return (
+        w_full,
+        off.reshape(B, GT),
+        vo_full.reshape(B, GT, -1),
+        p["out"]["b"].astype(jnp.float32),
+    )
+
+
 def two_way_transformer(
     p,
     image_embedding: jax.Array,  # [B, g*g, C] — or [g*g, C] with shared_image
@@ -262,10 +349,33 @@ def two_way_transformer(
         queries = _ln(layer0["norm3"], queries)
 
         q = queries + point_embedding
-        keys = image_embedding[None] + _attn_shared_q(
-            layer0["cross_i2t"], k_img, q, queries, h
-        )
-        keys = _ln(layer0["norm4"], keys)
+        if use_fused_i2t():
+            # fused i2t + norm4 (kernels/decoder_attn.py): the image-query
+            # projection runs ONCE on the shared stream, then the kernel
+            # does both small matmuls + grouped softmax + LN per tile
+            from ...kernels.decoder_attn import i2t_ln_update
+
+            tp = _tp_for(q.shape[1])
+            p0 = layer0["cross_i2t"]
+            qproj = _lin(p0["q"], k_img.astype(queries.dtype))  # [S, D]
+            w, off, vo, const = _i2t_prep_shared_q(p0, q, queries, h, tp)
+            keys = i2t_ln_update(
+                qproj[None],
+                image_embedding[None].astype(queries.dtype),
+                w,
+                off,
+                vo,
+                const,
+                layer0["norm4"]["scale"],
+                layer0["norm4"]["bias"],
+                h,
+                tp,
+            )
+        else:
+            keys = image_embedding[None] + _attn_shared_q(
+                layer0["cross_i2t"], k_img, q, queries, h
+            )
+            keys = _ln(layer0["norm4"], keys)
 
         image_pe = image_pe[None]  # [1, g*g, C] broadcasts against [B, ...]
         layers, first = p["layers"][1:], 1
@@ -293,8 +403,28 @@ def two_way_transformer(
         queries = _ln(layer["norm3"], queries)
 
         q = queries + point_embedding
-        keys = keys + _i2t_attn(layer["cross_i2t"], kpe, q, queries, h)
-        keys = _ln(layer["norm4"], keys)
+        if use_fused_i2t():
+            from ...kernels.decoder_attn import i2t_ln_update
+
+            tp = _tp_for(q.shape[1])
+            w, off, vo, const = _i2t_prep_generic(
+                layer["cross_i2t"], q, queries, h, tp
+            )
+            keys = i2t_ln_update(
+                kpe,
+                keys,
+                w,
+                off,
+                vo,
+                const,
+                layer["norm4"]["scale"],
+                layer["norm4"]["bias"],
+                h,
+                tp,
+            )
+        else:
+            keys = keys + _i2t_attn(layer["cross_i2t"], kpe, q, queries, h)
+            keys = _ln(layer["norm4"], keys)
 
     q = queries + point_embedding
     kpe = keys + image_pe

@@ -53,7 +53,7 @@ def main():
     emb = jax.block_until_ready(enc(params, jnp.asarray(img)))
 
     # PhraseCut crop config: pps=64 -> 4096 points, B=128 -> 32 chunks
-    B = amg_cfg.points_per_batch
+    B = int(os.environ.get("BENCH_PPB", amg_cfg.points_per_batch))
     grid01 = amg_mod.build_point_grid(64)
     chunks = jnp.asarray(amg_mod._chunk_points(grid01, B))
     n_chunks, n_pts = chunks.shape[0], chunks.shape[0] * B
