@@ -36,25 +36,24 @@ from jax.experimental import pallas as pl
 LN_EPS = 1e-5  # decoder norms are default torch LayerNorm
 
 
-def _kernel(
-    qside_ref,  # [1, St, C] score-side image stream (kpe / k_img)
-    base_ref,  # [1, St, C] residual base (keys / image_embedding)
-    w_ref,  # [1, C, GT] f32: per-prompt score weights (scale folded in)
-    off_ref,  # [1, 1, GT] f32: per-prompt score offsets (-1e30 on padding)
-    vo_ref,  # [1, GT, C] per-prompt value@out_proj
-    const_ref,  # [1, C] f32: out-proj bias
-    g_ref,  # [GT, H] f32 group indicator
-    g2_ref,  # [H, GT] f32 group broadcast
-    p_ref,  # [GT, GT * n_rot] f32 rotate-within-group permutations
-    s_ref,  # [1, C] f32 LN scale
-    t_ref,  # [1, C] f32 LN bias
-    o_ref,  # [1, St, C]
+def _body(
+    q,
+    base_ref,
+    w_ref,
+    off_ref,
+    vo_ref,
+    const_ref,
+    g_ref,
+    g2_ref,
+    p_ref,
+    s_ref,
+    t_ref,
+    o_ref,
     *,
     n_rot: int,
     gt: int,
 ):
     dt = base_ref.dtype
-    q = qside_ref[0]
     s = jnp.dot(q, w_ref[0].astype(q.dtype), preferred_element_type=jnp.float32)
     s = s + off_ref[0]
     # in-group max via rotate permutations (exact; padding lanes are -1e30)
@@ -78,6 +77,19 @@ def _kernel(
     ).astype(dt)
 
 
+def _kernel(qside_ref, base_ref, *rest, n_rot: int, gt: int):
+    # qside_ref: [1, St, Cq] score-side stream used as-is (kpe / qproj)
+    _body(qside_ref[0], base_ref, *rest, n_rot=n_rot, gt=gt)
+
+
+def _kernel_pe(qside_ref, pe_ref, base_ref, *rest, n_rot: int, gt: int):
+    # qside = keys; the positional encoding is added IN VMEM so the
+    # [B, S, C] kpe stream never exists in HBM
+    q = qside_ref[0]
+    q = (q.astype(jnp.float32) + pe_ref[0].astype(jnp.float32)).astype(q.dtype)
+    _body(q, base_ref, *rest, n_rot=n_rot, gt=gt)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "tp", "interpret"))
 def i2t_ln_update(
     qside: jax.Array,  # [B or 1, S, Cq] score-side stream (broadcast if 1)
@@ -90,6 +102,7 @@ def i2t_ln_update(
     ln_bias: jax.Array,  # [C]
     heads: int,
     tp: int,  # padded tokens per head group; GT == heads * tp
+    pe: jax.Array | None = None,  # [1 or B, S, Cq]: added to qside in VMEM
     interpret: bool | None = None,
 ) -> jax.Array:
     """Returns LayerNorm(base + i2t_attention(qside)) as [B, S, Co]."""
@@ -131,12 +144,26 @@ def i2t_ln_update(
     G = jnp.asarray(np.repeat(eye, tp, axis=0))  # [GT, H]
     G2 = jnp.asarray(np.repeat(eye, tp, axis=1))  # [H, GT]
 
-    kernel = functools.partial(_kernel, n_rot=n_rot if tp > 1 else 0, gt=GT)
+    if pe is None:
+        kernel = functools.partial(_kernel, n_rot=n_rot if tp > 1 else 0, gt=GT)
+        pe_specs, pe_args = [], []
+    else:
+        kernel = functools.partial(
+            _kernel_pe, n_rot=n_rot if tp > 1 else 0, gt=GT
+        )
+        pe_bcast = pe.shape[0] == 1
+        pe_specs = [
+            pl.BlockSpec((1, St, Cq), lambda b, s: (0 if pe_bcast else b, s, 0))
+        ]
+        pe_args = [pe.astype(dt)]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, St, Cq), lambda b, s: (0 if q_bcast else b, s, 0)),
+        ]
+        + pe_specs
+        + [
             pl.BlockSpec((1, St, Co), lambda b, s: (0 if b_bcast else b, s, 0)),
             pl.BlockSpec((1, Cq, GT), lambda b, s: (b, 0, 0)),
             pl.BlockSpec((1, 1, GT), lambda b, s: (b, 0, 0)),
@@ -153,6 +180,7 @@ def i2t_ln_update(
         interpret=interpret,
     )(
         qside.astype(dt),
+        *pe_args,
         base.astype(dt),
         w.astype(jnp.float32),
         off[:, None, :].astype(jnp.float32),

@@ -241,6 +241,58 @@ def use_fused_i2t() -> bool:
     return env_flag("HYBRIDGL_FUSED_I2T", default=True)
 
 
+def use_fused_t2i() -> bool:
+    """Flash-style token->image attention (kernels/decoder_attn_t2i.py):
+    streams the image tiles once with an online softmax and adds the
+    positional encoding in VMEM. Default ON; opt OUT via
+    $HYBRIDGL_FUSED_T2I=0."""
+    from ...utils.env import env_flag
+
+    return env_flag("HYBRIDGL_FUSED_T2I", default=True)
+
+
+def _t2i_fused(p, q_tok, keys, pe, num_heads: int):
+    """_t2i_attn with the score/readout over the image stream done by the
+    t2i_ctx kernel (same side-switched math; kpe built in VMEM)."""
+    from ...kernels.decoder_attn_t2i import t2i_ctx
+
+    B = q_tok.shape[0]
+    dt = q_tok.dtype
+    qh = _lin(p["q"], q_tok)  # [B, T, D]
+    T, D = qh.shape[1], qh.shape[2]
+    hd = D // num_heads
+    qh = qh.reshape(B, T, num_heads, hd)
+    wk, _bk = _heads_w(p["k"], num_heads)  # b_k cancels in the softmax
+    scale = hd**-0.5
+    qw = (
+        jnp.einsum(
+            "bthd,chd->bhtc", qh.astype(jnp.float32), wk.astype(jnp.float32)
+        )
+        * scale
+    )  # [B, h, T, C]
+    tp = _tp_for(T)
+    qw = jnp.pad(qw, ((0, 0), (0, 0), (0, tp - T), (0, 0)))
+    C = keys.shape[-1]
+    QW = qw.transpose(0, 3, 1, 2).reshape(B, C, num_heads * tp)
+    ctx = t2i_ctx(keys, pe, QW)  # [B, GT, C] f32
+    ctx = (
+        ctx.reshape(B, num_heads, tp, C)[:, :, :T]
+        .transpose(0, 2, 1, 3)
+        .astype(dt)
+    )  # [B, T, h, C]
+    wv, bv = _heads_w(p["v"], num_heads)
+    wo = p["out"]["w"].reshape(num_heads, hd, -1)
+    wvo = jnp.einsum(
+        "chd,hde->hce", wv.astype(jnp.float32), wo.astype(jnp.float32)
+    )
+    out = jnp.einsum("bthc,hce->bte", ctx, wvo.astype(dt))
+    const = (
+        jnp.einsum("hd,hde->e", bv.astype(jnp.float32), wo.astype(jnp.float32))
+        + p["out"]["b"].astype(jnp.float32)
+    ).astype(dt)
+    return out + const
+
+
 def _i2t_prep_generic(p, k_tok, v_tok, num_heads: int, tp: int):
     """(score_w [B,C,GT], off [B,GT], vo [B,GT,C], const [C]) for the
     generic image->token site (qside = unprojected kpe): exactly
@@ -392,11 +444,14 @@ def two_way_transformer(
             queries = queries + _attn(layer["self_attn"], q, q, queries, h)
         queries = _ln(layer["norm1"], queries)
 
-        # keys only update at the layer tail, so one PE-shifted image
-        # stream serves both cross attentions
-        kpe = keys + image_pe
         q = queries + point_embedding
-        queries = queries + _t2i_attn(layer["cross_t2i"], q, kpe, keys, h)
+        if use_fused_t2i():
+            # both fused cross attentions add the PE in VMEM, so the
+            # [B, S, C] kpe stream never materialises
+            queries = queries + _t2i_fused(layer["cross_t2i"], q, keys, image_pe, h)
+        else:
+            kpe = keys + image_pe
+            queries = queries + _t2i_attn(layer["cross_t2i"], q, kpe, keys, h)
         queries = _ln(layer["norm2"], queries)
 
         queries = queries + _mlp_relu(layer["mlp_fc"], layer["mlp_proj"], queries)
@@ -411,7 +466,7 @@ def two_way_transformer(
                 layer["cross_i2t"], q, queries, h, tp
             )
             keys = i2t_ln_update(
-                kpe,
+                keys,
                 keys,
                 w,
                 off,
@@ -421,14 +476,19 @@ def two_way_transformer(
                 layer["norm4"]["bias"],
                 h,
                 tp,
+                pe=image_pe,
             )
         else:
+            kpe = keys + image_pe
             keys = keys + _i2t_attn(layer["cross_i2t"], kpe, q, queries, h)
             keys = _ln(layer["norm4"], keys)
 
     q = queries + point_embedding
-    kpe = keys + image_pe
-    queries = queries + _t2i_attn(p["final_attn"], q, kpe, keys, h)
+    if use_fused_t2i():
+        queries = queries + _t2i_fused(p["final_attn"], q, keys, image_pe, h)
+    else:
+        kpe = keys + image_pe
+        queries = queries + _t2i_attn(p["final_attn"], q, kpe, keys, h)
     queries = _ln(p["norm_final"], queries)
     return queries, keys
 

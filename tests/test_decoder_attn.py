@@ -73,3 +73,26 @@ def test_fused_i2t_shared_site_matches_xla(rng):
         layer0["norm4"]["scale"], layer0["norm4"]["bias"], h, tp,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_t2i_matches_xla(rng):
+    cfg, p, queries, pe_tok, keys, img_pe = _setup(rng)
+    h = cfg.decoder_heads
+    layer = p["transformer"]["layers"][1]
+    q = queries + pe_tok
+    kpe = keys + img_pe
+
+    ref = dec._t2i_attn(layer["cross_t2i"], q, kpe, keys, h)
+    out = dec._t2i_fused(layer["cross_t2i"], q, keys, img_pe, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_t2i_extreme_logits_stable(rng):
+    cfg, p, queries, pe_tok, keys, img_pe = _setup(rng)
+    h = cfg.decoder_heads
+    layer = p["transformer"]["layers"][1]
+    q = (queries + pe_tok) * 40.0  # large scores: online softmax must hold
+    ref = dec._t2i_attn(layer["cross_t2i"], q, keys + img_pe, keys, h)
+    out = dec._t2i_fused(layer["cross_t2i"], q, keys, img_pe, h)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
