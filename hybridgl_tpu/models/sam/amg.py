@@ -161,11 +161,15 @@ def generate_proposals(
     Wy = _composed_axis_weights(canonical, n_low, S1, rh, 0, h)
     Wx = _composed_axis_weights(canonical, n_low, S1, rw, 0, w)
 
+    pe_hoist = dense_pe(p_sam["prompt"], sam_cfg)  # chunk-invariant
+    dense_hoist = no_mask_dense(p_sam["prompt"], sam_cfg, 1)[0]
+
     def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]  # [B, 1, 2]
         labels = jnp.ones((B, 1), jnp.float32)
         low_res, iou_preds = predict_points(
-            p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
+            p_sam, embedding, coords, labels, sam_cfg, multimask_output=True,
+            pe=pe_hoist, dense=dense_hoist,
         )  # [B, 3, 256, 256], [B, 3]
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
         # both composed-resize matmuls run INSIDE the stats kernel — the
@@ -318,11 +322,15 @@ def _score_crop_candidates(
     Wy = _composed_axis_weights(canonical, n_low, S1, rh, y0, ch)
     Wx = _composed_axis_weights(canonical, n_low, S1, rw, x0, cw)
 
+    pe_hoist = dense_pe(p_sam["prompt"], sam_cfg)  # chunk-invariant
+    dense_hoist = no_mask_dense(p_sam["prompt"], sam_cfg, 1)[0]
+
     def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]
         labels = jnp.ones((B, 1), jnp.float32)
         low_res, iou_preds = predict_points(
-            p_sam, embedding, coords, labels, sam_cfg, multimask_output=True
+            p_sam, embedding, coords, labels, sam_cfg, multimask_output=True,
+            pe=pe_hoist, dense=dense_hoist,
         )
         flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
         stab, row_any, col_any = pass1_stats(

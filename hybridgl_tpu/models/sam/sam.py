@@ -65,15 +65,23 @@ def predict_points(
     point_labels: jax.Array,  # [B, N]
     cfg: SamConfig,
     multimask_output: bool = True,
+    pe=None,
+    dense=None,
 ):
     """Batched point-prompted prediction -> (low-res logits [B,M,256,256],
     iou preds [B,M]). Mirrors SamPredictor.predict_torch
-    (reference: predictor.py:168-243) without the host round-trips."""
+    (reference: predictor.py:168-243) without the host round-trips.
+
+    ``pe``/``dense`` let loop callers (the AMG decode scan) hoist the
+    chunk-invariant dense positional encoding / no-mask embedding out of
+    the scan body instead of relying on XLA's while-loop LICM."""
     sparse = embed_points(p_sam["prompt"], point_coords, point_labels, cfg, pad=True)
     # dense no-mask embedding is prompt-independent -> pass it un-batched so
     # predict_masks keeps the image side shared through decoder layer 0
-    dense = no_mask_dense(p_sam["prompt"], cfg, 1)[0]
-    pe = dense_pe(p_sam["prompt"], cfg)
+    if dense is None:
+        dense = no_mask_dense(p_sam["prompt"], cfg, 1)[0]
+    if pe is None:
+        pe = dense_pe(p_sam["prompt"], cfg)
     return predict_masks(
         p_sam["decoder"],
         embedding,

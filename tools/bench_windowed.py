@@ -104,7 +104,9 @@ def main():
             def body(h, bp):
                 return enc.encoder_block(bp, h, cfg, cfg.window_size), None
 
-            out, _ = jax.lax.scan(body, x, stacked)
+            out, _ = jax.lax.scan(
+                body, x, stacked, unroll=int(os.environ.get("BENCH_UNROLL", "1"))
+            )
             return out
 
         return jax.jit(run)
