@@ -334,6 +334,15 @@ def stack_encoder_runs(sam_params, cfg: SamConfig):
     enc["block_runs"] = rps
     out = dict(sam_params)
     out["encoder"] = enc
+    if "decoder" in out:
+        # hoist the decoder's weight-only products (per-head score/readout
+        # matrices, kron-expanded upscale weights, stacked hypernetwork
+        # MLPs) to stacking time too: the AMG decode scan re-derived them
+        # every point chunk, and their tiny staging DMAs dominated the
+        # chunk wall (see models/sam/decoder.py:prepare_decoder_params)
+        from .decoder import prepare_decoder_params
+
+        out["decoder"] = prepare_decoder_params(out["decoder"], cfg)
     return out
 
 

@@ -39,7 +39,14 @@ def main():
         amg=AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0),
     )
     sam_cfg, amg_cfg = cfg.sam, cfg.amg
-    params = cast_pytree(init_sam(jax.random.PRNGKey(0), sam_cfg), jnp.bfloat16)
+    from hybridgl_tpu.models.sam.image_encoder import stack_encoder_runs
+
+    # serve the STACKED+PREPARED layout — what the pipeline actually runs
+    params = jax.jit(
+        lambda k: stack_encoder_runs(
+            cast_pytree(init_sam(k, sam_cfg), jnp.bfloat16), sam_cfg
+        )
+    )(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     S = sam_cfg.img_size
     rh, rw = 768, 1024

@@ -63,6 +63,61 @@ def capture(out_dir: str, sam_model: str):
     print("trace:", glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True))
 
 
+def capture_feature(out_dir: str):
+    """Trace the crops+fusion feature stage (CLIP G2L + GEM features)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hybridgl_tpu.core.config import PipelineConfig
+    from hybridgl_tpu.core.params import cast_pytree, init_clip
+    from hybridgl_tpu.models.clip.fusion import hybrid_forward
+    from hybridgl_tpu.models.gem.gem import gem_image_features, gem_preprocess
+    from hybridgl_tpu.pipeline.preprocess import build_crops
+    from hybridgl_tpu.pipeline.runner import _stack_clip_params
+    from hybridgl_tpu.kernels.resize import resize_bilinear
+
+    cfg = PipelineConfig(fusion_mode="G2L")
+    clip_cfg = cfg.clip
+    params = jax.jit(
+        lambda k: _stack_clip_params(cast_pytree(init_clip(k, clip_cfg), jnp.bfloat16))
+    )(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    C = cfg.canonical_size
+    P = cfg.amg.max_proposals
+    h, w = 480, 640
+
+    @jax.jit
+    def feature(p, image_c, masks):
+        glob, local = build_crops(image_c, masks, (h, w), cfg.crop_size, cfg.blur_ksize)
+        feats = hybrid_forward(
+            p["visual"], local, glob, masks.astype(jnp.float32), clip_cfg,
+            fusion_mode=cfg.fusion_mode, masking_block=cfg.guidance.masking_block,
+            compat=cfg.compat, masks_hw=(h, w),
+        )
+        gem_u8 = jnp.round(
+            resize_bilinear(image_c, (cfg.gem.img_size, cfg.gem.img_size), src_hw=(h, w))
+        ).astype(jnp.uint8)
+        gem_img = gem_preprocess(gem_u8, cfg.gem.img_size)
+        gem_pf, _, _ = gem_image_features(p["visual"], gem_img[None], clip_cfg, cfg.gem)
+        return feats, gem_pf
+
+    def inputs():
+        img = jnp.asarray(rng.integers(0, 255, (C, C, 3), np.uint8))
+        masks = jnp.asarray(rng.random((P, C, C)) > 0.7)
+        return img, masks
+
+    warm = inputs()
+    jax.block_until_ready(feature(params, *warm))
+    ins = [inputs() for _ in range(3)]
+    os.makedirs(out_dir, exist_ok=True)
+    jax.profiler.start_trace(out_dir)
+    outs = [feature(params, *i) for i in ins]
+    jax.block_until_ready(outs)
+    jax.profiler.stop_trace()
+    print("trace:", glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True))
+
+
 def parse(trace_dir: str, top: int = 20, calls: int = 3):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -105,11 +160,15 @@ def main():
     p.add_argument("--out", default="", help="capture a trace into this dir")
     p.add_argument("--parse", default="", help="parse a captured trace dir")
     p.add_argument("--sam", default="vit_h")
+    p.add_argument("--stage", default="amg", choices=["amg", "feature"])
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--calls", type=int, default=3, help="timed calls in the trace")
     args = p.parse_args()
     if args.out:
-        capture(args.out, args.sam)
+        if args.stage == "feature":
+            capture_feature(args.out)
+        else:
+            capture(args.out, args.sam)
     if args.parse:
         parse(args.parse, args.top, args.calls)
     if not args.out and not args.parse:
