@@ -836,6 +836,13 @@ def predict_masks(
         )  # [B, nmt, C/8]
     g4 = 4 * g
 
+    # the caller keeps only tokens [1:] (multimask) or [:1] — select the
+    # hypernetwork rows BEFORE the contraction so the tail never computes
+    # the dropped token's 4g x 4g plane (exact: that row was never read)
+    sel = slice(1, None) if multimask_output else slice(0, 1)
+    hyper = hyper[:, sel]
+    n_sel = hyper.shape[1]
+
     if use_fused_upscale():
         # Fused Pallas tail (kernels/upscale_hyper.py): the XLA blocked
         # einsums materialise ~2 GB of 32-lane/2-sublane intermediates per
@@ -874,7 +881,7 @@ def predict_masks(
             pu["b2"],
             hbd.astype(dt),
         )
-        masks = interleave_blocked_masks(y, g, nmt)
+        masks = interleave_blocked_masks(y, g, n_sel)
     else:
         w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)  # [C, i*j*c4]
         w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)  # [c4, e*f*c8]
@@ -889,10 +896,7 @@ def predict_masks(
         # rows are (h, i, e) -> 4h+2i+e, cols (w, j, f) -> 4w+2j+f
         masks = jnp.einsum(
             "bmc,bhwijefc->bmhiewjf", hyper, x, preferred_element_type=jnp.float32
-        ).astype(jnp.float32).reshape(B, nmt, g4, g4)
+        ).astype(jnp.float32).reshape(B, n_sel, g4, g4)
 
     iou_pred = _mlp_stack(p_dec["iou_head"], iou_token_out).astype(jnp.float32)
-
-    if multimask_output:
-        return masks[:, 1:, :, :], iou_pred[:, 1:]
-    return masks[:, :1, :, :], iou_pred[:, :1]
+    return masks, iou_pred[:, sel]

@@ -84,11 +84,17 @@ def main():
 
         return run
 
+    trace_dir = os.environ.get("BENCH_TRACE", "")
     for u in unrolls:
         fn = make_fn(u)
         t0 = time.time()
         jax.block_until_ready(fn(params, emb, chunks))
         compile_s = time.time() - t0
+        if trace_dir:
+            jax.profiler.start_trace(trace_dir)
+            jax.block_until_ready(fn(params, emb, chunks))
+            jax.profiler.stop_trace()
+            print(f"trace -> {trace_dir} (parse with profile_trace.py --calls 1)")
         reps = []
         for _ in range(5):
             t0 = time.time()
