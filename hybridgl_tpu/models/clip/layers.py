@@ -56,22 +56,29 @@ def multi_head_attention(
     qkv = x @ p["in_proj_w"].astype(x.dtype) + p["in_proj_b"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads(t):
-        return t.reshape(N, L, H, hd).transpose(0, 2, 1, 3)  # [N,H,L,hd]
-
-    q, k, v = heads(q), heads(k), heads(v)
+    # heads stay in the [N, L, H, hd] view end-to-end: explicit
+    # [N, H, L, hd] transposes materialise as layout copies of every
+    # projected tensor on TPU (the 197-token L is not sublane-aligned, so
+    # each copy pays a misaligned relayout); the einsum batch dims express
+    # the same contraction and let XLA pick the layout (same move as
+    # models/sam/decoder.py:_attn)
+    q = q.reshape(N, L, H, hd)
+    k = k.reshape(N, L, H, hd)
+    v = v.reshape(N, L, H, hd)
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(x.dtype)
     # scores stored at the serving dtype (core/dtypes.py policy); QK still
     # accumulates f32 on the MXU
     sdt = score_dtype(x.dtype)
     attn = jnp.einsum(
-        "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
+        "nqhd,nkhd->nhqk", q * scale, k, preferred_element_type=jnp.float32
     ).astype(sdt)
     if attn_bias is not None:
         attn = attn + attn_bias.astype(attn.dtype)
     attn = softmax_scores(attn).astype(x.dtype)
-    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(N, L, D)
+    out = jnp.einsum(
+        "nhqk,nkhd->nqhd", attn, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    out = out.reshape(N, L, D)
     return out @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
 
 
