@@ -435,13 +435,20 @@ def generate_proposals_multicrop(
                 rhw=(crh, crw),
             )
         )
-    # one batched encoder pass for all five frames: a single weight stream
-    # and a [5*25, 196, D] windowed batch instead of five sequential calls
+    # one jitted scan over the five frames, batch-1 each: the batched
+    # [5, 1024, 1024] encoder pass measured ~95 ms/img SLOWER on v5e
+    # (476 vs 380 ms for 5 frames, tools/bench_encode_batch.py BENCH_SERIAL
+    # A/B) — batch-1 keeps the windowed/MLP fusions in their tuned layouts
+    # and the encoder is compute-bound, so the repeated weight stream is
+    # free under the compute
     from .image_encoder import encode_image
 
-    embs = encode_image(p_sam["encoder"], jnp.stack(frames), sam_cfg)
-    for crop, emb in zip(crops, embs):
-        crop["embedding"] = emb
+    def enc_body(_, frame):
+        return None, encode_image(p_sam["encoder"], frame[None], sam_cfg)[0]
+
+    _, embs = jax.lax.scan(enc_body, None, jnp.stack(frames))
+    for crop_id in range(len(crops)):
+        crops[crop_id]["embedding"] = embs[crop_id]
 
     # ---- pass 1 + per-crop NMS ------------------------------------------
     sel_boxes, sel_iou, sel_stab, sel_valid = [], [], [], []

@@ -300,12 +300,31 @@ def _i2t_shared_q_from_prepared(prep, k_tok, v_tok, num_heads: int, tp: int):
     )
 
 
+def _prep_upscale(u, C: int):
+    """The fused-tail weight views: reshaped deconvs, kron-expanded second
+    deconv, (i, j)-tiled bias/LN vectors (single source of truth for the
+    stacked prep and the raw-param fallback in predict_masks)."""
+    f32 = jnp.float32
+    u1, u2, ln = u["deconv1"], u["deconv2"], u["ln"]
+    c4, c8 = u1["w"].shape[-1], u2["w"].shape[-1]
+    w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)
+    w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)
+    dt = jnp.asarray(u1["w"]).dtype
+    return {
+        "w1": w1.astype(dt),
+        "b1": jnp.tile(u1["b"].astype(f32), 4),
+        "ln_s": jnp.tile(ln["scale"].astype(f32), 4),
+        "ln_b": jnp.tile(ln["bias"].astype(f32), 4),
+        "w2bd": jnp.kron(jnp.eye(4, dtype=w2.dtype), w2).astype(dt),
+        "b2": jnp.tile(u2["b"].astype(f32), 16),
+    }
+
+
 def prepare_decoder_params(p_dec, cfg: SamConfig):
     """Returns a copy of the decoder params augmented with the serving
     ``prepared`` products (consumed by two_way_transformer / predict_masks
     when present; the raw format keeps working — tests compare both)."""
     h = cfg.decoder_heads
-    f32 = jnp.float32
     tf = dict(p_dec["transformer"])
     layers = []
     for i, layer in enumerate(tf["layers"]):
@@ -319,21 +338,8 @@ def prepare_decoder_params(p_dec, cfg: SamConfig):
     out["transformer"] = tf
 
     # fused upscale tail: the reshaped/kron-expanded weight views
-    C = cfg.prompt_dim
     u = dict(p_dec["upscale"])
-    u1, u2, ln = u["deconv1"], u["deconv2"], u["ln"]
-    c4, c8 = u1["w"].shape[-1], u2["w"].shape[-1]
-    w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)
-    w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)
-    dt = jnp.asarray(u1["w"]).dtype
-    u["prepared"] = {
-        "w1": w1.astype(dt),
-        "b1": jnp.tile(u1["b"].astype(f32), 4),
-        "ln_s": jnp.tile(ln["scale"].astype(f32), 4),
-        "ln_b": jnp.tile(ln["bias"].astype(f32), 4),
-        "w2bd": jnp.kron(jnp.eye(4, dtype=w2.dtype), w2).astype(dt),
-        "b2": jnp.tile(u2["b"].astype(f32), 16),
-    }
+    u["prepared"] = _prep_upscale(u, cfg.prompt_dim)
     out["upscale"] = u
 
     # hypernetwork MLPs: one stacked weight set per depth (the per-token
@@ -475,39 +481,18 @@ def _t2i_fused(p, q_tok, keys, pe, num_heads: int, prep=None):
     B = q_tok.shape[0]
     dt = q_tok.dtype
     T = q_tok.shape[1]
-    if prep is not None:
-        qw = (
-            jnp.dot(
-                q_tok.astype(prep["score_w"].dtype),
-                prep["score_w"],
-                preferred_element_type=jnp.float32,
-            )
-            + prep["score_b"]
-        ).reshape(B, T, num_heads, -1).transpose(0, 2, 1, 3)  # [B, h, T, C]
-        wvo = prep["wvo"]
-        const = prep["const"].astype(dt)
-    else:
-        qh = _lin(p["q"], q_tok)  # [B, T, D]
-        D = qh.shape[2]
-        hd = D // num_heads
-        qh = qh.reshape(B, T, num_heads, hd)
-        wk, _bk = _heads_w(p["k"], num_heads)  # b_k cancels in the softmax
-        scale = hd**-0.5
-        qw = (
-            jnp.einsum(
-                "bthd,chd->bhtc", qh.astype(jnp.float32), wk.astype(jnp.float32)
-            )
-            * scale
-        )  # [B, h, T, C]
-        wv, bv = _heads_w(p["v"], num_heads)
-        wo = p["out"]["w"].reshape(num_heads, hd, -1)
-        wvo = jnp.einsum(
-            "chd,hde->hce", wv.astype(jnp.float32), wo.astype(jnp.float32)
+    if prep is None:
+        prep = _prep_t2i(p, num_heads)  # raw params: fold on the fly
+    qw = (
+        jnp.dot(
+            q_tok.astype(prep["score_w"].dtype),
+            prep["score_w"],
+            preferred_element_type=jnp.float32,
         )
-        const = (
-            jnp.einsum("hd,hde->e", bv.astype(jnp.float32), wo.astype(jnp.float32))
-            + p["out"]["b"].astype(jnp.float32)
-        ).astype(dt)
+        + prep["score_b"]
+    ).reshape(B, T, num_heads, -1).transpose(0, 2, 1, 3)  # [B, h, T, C]
+    wvo = prep["wvo"]
+    const = prep["const"].astype(dt)
     tp = _tp_for(T)
     qw = jnp.pad(qw, ((0, 0), (0, 0), (0, tp - T), (0, 0)))
     C = keys.shape[-1]
@@ -857,17 +842,7 @@ def predict_masks(
         dt = src.dtype
         pu = p_dec["upscale"].get("prepared")
         if pu is None:
-            ln = p_dec["upscale"]["ln"]
-            w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)
-            w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)
-            pu = {
-                "w1": w1,
-                "b1": jnp.tile(u1["b"].astype(jnp.float32), 4),
-                "ln_s": jnp.tile(ln["scale"].astype(jnp.float32), 4),
-                "ln_b": jnp.tile(ln["bias"].astype(jnp.float32), 4),
-                "w2bd": jnp.kron(jnp.eye(4, dtype=w2.dtype), w2),
-                "b2": jnp.tile(u2["b"].astype(jnp.float32), 16),
-            }
+            pu = _prep_upscale(p_dec["upscale"], C)
         hbd = jax.vmap(
             lambda hyp: jnp.kron(jnp.eye(16, dtype=hyp.dtype), hyp.T)
         )(hyper)  # [B, 16c8, 16m]

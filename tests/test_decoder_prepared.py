@@ -67,6 +67,28 @@ def test_prepared_matches_raw_batched_dense(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m), atol=3e-4)
 
 
+def test_prepared_matches_raw_bf16(rng, monkeypatch):
+    # the serving configuration: bf16-cast params, fused kernels on. The
+    # folded products are additionally rounded to bf16, so tolerances are
+    # bf16-scale — this pins the branch the f32 tests never reach.
+    monkeypatch.setenv("HYBRIDGL_FUSED_UPSCALE", "1")
+    monkeypatch.setenv("HYBRIDGL_FUSED_I2T", "1")
+    monkeypatch.setenv("HYBRIDGL_FUSED_T2I", "1")
+    from hybridgl_tpu.core.params import cast_pytree
+
+    cfg, p_dec, emb, pe, sparse, dense = _setup(rng)
+    p16 = cast_pytree(p_dec, jnp.bfloat16)
+    ref_m, ref_iou = predict_masks(p16, emb, pe, sparse, cfg, dense_prompts=dense)
+    prep = prepare_decoder_params(p16, cfg)
+    out_m, out_iou = predict_masks(prep, emb, pe, sparse, cfg, dense_prompts=dense)
+    # logits come out f32 but carry bf16 noise through ~8 matmul layers
+    scale = float(np.abs(np.asarray(ref_m)).max())
+    np.testing.assert_allclose(
+        np.asarray(out_m) / scale, np.asarray(ref_m) / scale, atol=0.05
+    )
+    np.testing.assert_allclose(np.asarray(out_iou), np.asarray(ref_iou), atol=0.05)
+
+
 def test_stack_encoder_runs_prepares_decoder(rng):
     cfg = tiny_sam_config()
     p = init_sam(jax.random.PRNGKey(0), cfg)

@@ -91,10 +91,12 @@ def main():
         jax.block_until_ready(fn(params, emb, chunks))
         compile_s = time.time() - t0
         if trace_dir:
-            jax.profiler.start_trace(trace_dir)
+            tdir = f"{trace_dir}/unroll{u}"  # one dir per unroll: parse()
+            # reads the newest xplane under the dir it is given
+            jax.profiler.start_trace(tdir)
             jax.block_until_ready(fn(params, emb, chunks))
             jax.profiler.stop_trace()
-            print(f"trace -> {trace_dir} (parse with profile_trace.py --calls 1)")
+            print(f"trace -> {tdir} (parse with profile_trace.py --calls 1)")
         reps = []
         for _ in range(5):
             t0 = time.time()

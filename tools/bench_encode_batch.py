@@ -56,12 +56,26 @@ def main():
         a[:rh, :rw] = rng.integers(0, 255, (rh, rw, 3), np.uint8)
         return a
 
+    serial = bool(os.environ.get("BENCH_SERIAL"))
     for B in batches:
-        @jax.jit
-        def enc_b(p, ims):
-            x = jax.vmap(lambda im: preprocess_padded(im, (rh, rw), sam_cfg))(ims)
-            # encode() takes the preprocessed [1024,1024,3]; vmap over batch
-            return jax.vmap(lambda xi: encode(p, xi, sam_cfg))(x)
+        if serial:
+            # same B frames, but one-at-a-time under lax.scan inside ONE
+            # jit: batch-1 layouts, weights re-streamed per frame
+            @jax.jit
+            def enc_b(p, ims):
+                x = jax.vmap(lambda im: preprocess_padded(im, (rh, rw), sam_cfg))(ims)
+
+                def body(_, xi):
+                    return None, encode(p, xi, sam_cfg)
+
+                _, out = jax.lax.scan(body, None, x)
+                return out
+        else:
+            @jax.jit
+            def enc_b(p, ims):
+                x = jax.vmap(lambda im: preprocess_padded(im, (rh, rw), sam_cfg))(ims)
+                # encode() takes the preprocessed [1024,1024,3]; vmap over batch
+                return jax.vmap(lambda xi: encode(p, xi, sam_cfg))(x)
 
         imgs = [jnp.asarray(np.stack([fresh_img() for _ in range(B)])) for _ in range(6)]
         _force(enc_b(params, imgs[0]))  # compile
