@@ -423,6 +423,10 @@ def encode_image(p, images: jax.Array, cfg: SamConfig) -> jax.Array:
             def body(h, bp):
                 return encoder_block(bp, h, cfg, cfg.window_size), None
 
-            x, _ = jax.lax.scan(body, x, rp)
+            n_run = len(idxs)
+            unroll = int(os.environ.get("HYBRIDGL_ENC_UNROLL", "1"))
+            if n_run % max(unroll, 1):
+                unroll = 1
+            x, _ = jax.lax.scan(body, x, rp, unroll=max(unroll, 1))
 
     return neck(p, x)
