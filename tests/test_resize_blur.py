@@ -60,9 +60,15 @@ def test_gaussian_blur_matches_cv2(rng):
     img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
     ref = cv2.GaussianBlur(img, (15, 15), 0)
     ours = np.asarray(gaussian_blur(jnp.asarray(img), 15))
-    # cv2's uint8 path is fixed-point; ours is float. Rounding can differ by
-    # at most one grey level.
-    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+    # cv2's uint8 path is fixed-point; ours is float. The per-pass rounding
+    # usually lands within one grey level, but the two separable passes'
+    # fixed-point errors can compound to 2 on rare pixels (~1e-4 of pixels
+    # over random inputs — measured; the session-scoped rng fixture means
+    # this test's input depends on suite order, so the bound must hold for
+    # ANY draw, not a lucky one).
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 2
+    assert (diff > 1).mean() <= 1e-3
 
 
 def test_gaussian_blur_float_matches_cv2(rng):
