@@ -53,6 +53,19 @@ def resize_masks_to_grid(pred_masks: jax.Array, grid: int, masks_hw=None) -> jax
     return jax.vmap(lambda x: resize_bilinear(x, (grid, grid), src_hw=masks_hw))(m)
 
 
+def make_cls_bias(masks_grid: jax.Array) -> jax.Array:
+    """Compact CLS-row bias [P, L]: the reference's ``make_attn_mask``
+    (backbone.py:108-115) only restricts the CLS query row — CLS may attend
+    to itself and to patches whose (fractionally resized) mask value is
+    nonzero. This is the form the fused attention kernel
+    (kernels/clip_attention.py) consumes natively; the unfused path expands
+    it with ``cls_bias_to_attn_bias``."""
+    P = masks_grid.shape[0]
+    patch_ok = masks_grid.reshape(P, -1) != 0
+    allowed = jnp.concatenate([jnp.ones((P, 1), bool), patch_ok], axis=1)
+    return allowed_mask_to_bias(allowed)  # [P, L]
+
+
 def make_attn_bias(masks_grid: jax.Array) -> jax.Array:
     """Per-proposal CLS-row attention bias.
 
@@ -108,14 +121,15 @@ def hybrid_forward(
     heads = cfg.vision_heads
     stacked = p_visual.get("blocks_stacked")
 
-    def run_plain(x, start, stop, bias=None):
-        """Blocks [start, stop): scanned when stacked params are present."""
+    def run_plain(x, start, stop, cls=None):
+        """Blocks [start, stop): scanned when stacked params are present.
+        ``cls`` is the compact CLS-row bias (see make_cls_bias)."""
         if stacked is not None:
             from .layers import scan_blocks
 
-            return scan_blocks(stacked, x, heads, attn_bias=bias, start=start, stop=stop)
+            return scan_blocks(stacked, x, heads, start=start, stop=stop, cls_bias=cls)
         for i in range(start, stop):
-            x = vit_block(p_visual["blocks"][i], x, cfg, attn_bias=bias)
+            x = vit_block(p_visual["blocks"][i], x, cfg, cls_bias=cls)
         return x
 
     def run_scan(carry, body, start, stop):
@@ -130,10 +144,10 @@ def hybrid_forward(
             carry = body(carry, p_visual["blocks"][i])
         return carry
 
-    def blk_fwd(bp, x, bias=None):
+    def blk_fwd(bp, x, cls=None):
         from .layers import residual_attention_block
 
-        return residual_attention_block(bp, x, heads, bias)
+        return residual_attention_block(bp, x, heads, cls_bias=cls)
 
     if fusion_mode == "crop":
         x = vit_stem(p_visual, local_imgs, cfg)
@@ -153,15 +167,15 @@ def hybrid_forward(
         return vit_head(p_visual, x, cfg)
 
     if fusion_mode == "attn_masking":
-        bias = make_attn_bias(masks_grid)
+        bias = make_cls_bias(masks_grid)
         x = run_plain(x, 0, mb)
         stop = (last + 1) if compat.attn_masking_early_exit else (last + 2)
-        x = run_plain(x, mb, stop, bias=bias)
+        x = run_plain(x, mb, stop, cls=bias)
         return vit_head(p_visual, x, cfg)
 
     # two-stream modes
     x2 = vit_stem(p_visual, global_imgs, cfg)
-    bias = make_attn_bias(masks_grid)
+    bias = make_cls_bias(masks_grid)
 
     # shared trunk on the fused 2P batch (one resblock call per block)
     P = x.shape[0]

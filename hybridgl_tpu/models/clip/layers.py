@@ -36,11 +36,31 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def use_fused_clip() -> bool:
+    """Fused whole-row attention for the CLIP blocks
+    (kernels/clip_attention.py). Default ON; opt OUT via
+    $HYBRIDGL_FUSED_CLIP=0. Runs in interpret mode on CPU, so the
+    torch-oracle test battery exercises it too."""
+    from ...utils.env import env_flag
+
+    return env_flag("HYBRIDGL_FUSED_CLIP", default=True)
+
+
+def cls_bias_to_attn_bias(cls_bias: jax.Array) -> jax.Array:
+    """Compact CLS-row bias [N, L] -> full additive bias [N, 1, L, L]
+    (row 0 carries the bias, every other query row is unrestricted) —
+    the expansion the unfused path needs."""
+    N, L = cls_bias.shape
+    q_is_cls = (jnp.arange(L) == 0)[None, None, :, None]
+    return jnp.where(q_is_cls, cls_bias[:, None, None, :], 0.0)
+
+
 def multi_head_attention(
     p,
     x: jax.Array,
     num_heads: int,
     attn_bias: Optional[jax.Array] = None,
+    cls_bias: Optional[jax.Array] = None,
 ):
     """Self-attention matching torch nn.MultiheadAttention(d, h).
 
@@ -49,11 +69,37 @@ def multi_head_attention(
       x: [N, L, D]
       attn_bias: optional additive bias broadcastable to [N, H, L, L]
         (use -inf/-1e9 entries to mask; see ``allowed_mask_to_bias``).
+      cls_bias: optional compact CLS-ROW bias [N, L] — the only mask shape
+        the fusion modes use (reference backbone.py:108-115). Mutually
+        exclusive with attn_bias; the fused kernel consumes it natively.
     """
     N, L, D = x.shape
     H = num_heads
     hd = D // H
+    from ...kernels.clip_attention import MAX_ROWS
+
+    if attn_bias is None and L <= MAX_ROWS and use_fused_clip():
+        from ...kernels.clip_attention import (
+            clip_attention,
+            clip_lane,
+            pad_heads_proj,
+            pad_in_proj,
+        )
+
+        # the head padding + q scale are folded into the projection
+        # weights (weight-only transforms, hoisted by XLA where the
+        # weights are loop-invariant) — the matmuls emit and consume the
+        # kernel's 128-lane head groups directly, no pad/reshape ops
+        lane = clip_lane(hd, jax.default_backend() == "cpu")
+        wp, bp = pad_in_proj(p["in_proj_w"], p["in_proj_b"], H, lane)
+        qkv = x @ wp.astype(x.dtype) + bp.astype(x.dtype)
+        ctx = clip_attention(qkv, cls_bias, H)  # [N, L, H*lane]
+        ow = pad_heads_proj(p["out_w"], H, lane).astype(x.dtype)
+        return ctx.astype(x.dtype) @ ow + p["out_b"].astype(x.dtype)
     qkv = x @ p["in_proj_w"].astype(x.dtype) + p["in_proj_b"].astype(x.dtype)
+    if cls_bias is not None:
+        assert attn_bias is None, "attn_bias and cls_bias are mutually exclusive"
+        attn_bias = cls_bias_to_attn_bias(cls_bias)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     # heads stay in the [N, L, H, hd] view end-to-end: explicit
@@ -93,6 +139,7 @@ def residual_attention_block(
     x: jax.Array,
     num_heads: int,
     attn_bias: Optional[jax.Array] = None,
+    cls_bias: Optional[jax.Array] = None,
 ):
     """Pre-LN block: x + MHA(LN(x)); x + MLP(LN(x)) with QuickGELU.
 
@@ -100,7 +147,9 @@ def residual_attention_block(
     attention mask (the modification that enables the fusion modes,
     reference: clip/model.py:244-257).
     """
-    x = x + multi_head_attention(p["attn"], layer_norm(p["ln_1"], x), num_heads, attn_bias)
+    x = x + multi_head_attention(
+        p["attn"], layer_norm(p["ln_1"], x), num_heads, attn_bias, cls_bias
+    )
     h = layer_norm(p["ln_2"], x)
     h = linear(p["mlp_fc"], h)
     h = quick_gelu(h)
@@ -116,13 +165,13 @@ def stack_block_params(blocks):
     return _impl(blocks)
 
 
-def scan_blocks(stacked, x, num_heads, attn_bias=None, start=0, stop=None):
+def scan_blocks(stacked, x, num_heads, attn_bias=None, start=0, stop=None, cls_bias=None):
     """Run blocks [start, stop) of a stacked pytree via lax.scan."""
     import jax
 
     sl = jax.tree.map(lambda a: a[start:stop], stacked)
 
     def body(h, bp):
-        return residual_attention_block(bp, h, num_heads, attn_bias), None
+        return residual_attention_block(bp, h, num_heads, attn_bias, cls_bias), None
 
     return jax.lax.scan(body, x, sl)[0]

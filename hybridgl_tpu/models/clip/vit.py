@@ -48,8 +48,16 @@ def vit_stem(p, images: jax.Array, cfg: ClipConfig) -> jax.Array:
     return layer_norm(p["ln_pre"], x)
 
 
-def vit_block(p_block, x, cfg: ClipConfig, attn_bias: Optional[jax.Array] = None):
-    return residual_attention_block(p_block, x, cfg.vision_heads, attn_bias)
+def vit_block(
+    p_block,
+    x,
+    cfg: ClipConfig,
+    attn_bias: Optional[jax.Array] = None,
+    cls_bias: Optional[jax.Array] = None,
+):
+    return residual_attention_block(
+        p_block, x, cfg.vision_heads, attn_bias, cls_bias
+    )
 
 
 def vit_blocks(p, x, cfg: ClipConfig, start: int = 0, stop: Optional[int] = None):
