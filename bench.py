@@ -8,10 +8,26 @@ i.e. the same work the reference does per RefCOCO image
 (reference: Hybridgl_main.py:79-231), with randomly initialised weights
 (throughput is weight-independent).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured/1.0 img/s — the reference publishes no
-throughput (BASELINE.md), so 1.0 img/s is our estimate of its host-bound
-single-A100 end-to-end rate (SAM ViT-H forward plus per-mask host loops).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Companion fields grounding the wall-clock number (the shared tunnel's
+health swings it ~2x between runs; VERDICT r3 #1):
+
+* ``device_ms_per_img`` — serialized per-image DEVICE time: every stage
+  of every image dispatched back-to-back with device-resident inputs and
+  ONE final block_until_ready, min-of-reps. Tunnel congestion cannot
+  inflate device execution, so this is the window-independent signal of
+  code quality.
+* ``est_mfu_device`` / ``est_mfu_e2e`` — measured rate x the analytic
+  per-image FLOPs model (hybridgl_tpu/utils/flops.py, audited in
+  docs/DESIGN.md) over the chip's bf16 peak.
+
+``vs_baseline`` divides by BASELINE_IMG_PER_S below. CAVEAT: the
+reference publishes NO throughput anywhere (BASELINE.md); 1.0 img/s is
+our ESTIMATE of its host-bound single-A100 end-to-end rate (SAM ViT-H
+forward plus per-mask host loops), not a measurement. The MFU fields are
+the hardware-grounded claim; vs_baseline is kept for the driver's
+record format only.
 """
 
 import json
@@ -23,7 +39,92 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_IMG_PER_S = 1.0  # assumed reference A100 end-to-end rate
+BASELINE_IMG_PER_S = 1.0  # ESTIMATED reference A100 e2e rate (see docstring)
+
+
+def _device_time_probe(pipe, cfg, samples, n_reps=3):
+    """Serialized per-image device time, ms (min over ``n_reps`` passes).
+
+    Dispatches every stage of every image back-to-back against the SAME
+    jit cache entries the e2e bench exercised (identical avals - no new
+    compiles), with all inputs uploaded before the clock starts and no
+    host reads until one final block_until_ready. The in-order TPU stream
+    executes dispatches serially, so the elapsed wall is the device
+    execution time plus per-dispatch enqueue overhead; min-of-reps
+    filters tunnel hiccups. Host cleanup and downloads are deliberately
+    excluded - this is the device-compute signal (the e2e medians carry
+    the rest)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybridgl_tpu.eval.metrics import IoUAccum
+    from hybridgl_tpu.pipeline.guidance import dir_flag_id, rela_flag_id
+
+    k1, k2 = cfg.guidance.k1, cfg.guidance.k2
+    prepped = []
+    for s in samples:
+        rows = []
+        for sent in s.sentences:
+            row = pipe._sentence_rows.get(sent)
+            if row is None:
+                parsed = pipe.parser.parse(sent)
+                toks_all, n_others = pipe._tokenize_parsed(parsed)
+                row = (
+                    toks_all,
+                    n_others,
+                    dir_flag_id(parsed.dir_flag),
+                    rela_flag_id(parsed.rela_flag),
+                    pipe._black(parsed.rela_flag),
+                    parsed.has_other_nouns,
+                )
+            rows.append((jax.device_put(jnp.asarray(row[0])), *row[1:]))
+        prepped.append(
+            (
+                jax.device_put(s.image_1024),
+                s.rh,
+                s.rw,
+                jax.device_put(s.image_canonical),
+                s.h,
+                s.w,
+                jax.device_put(jnp.asarray(s.gt_mask)),
+                rows,
+            )
+        )
+    jax.block_until_ready([p[0] for p in prepped] + [p[3] for p in prepped])
+
+    times = []
+    for _ in range(n_reps):
+        pa, fa = IoUAccum.zeros(), IoUAccum.zeros()
+        t0 = time.perf_counter()
+        for img1024, rh, rw, imgc, h, w, gt, rows in prepped:
+            props, _packed, _ph, _aux, _meta = pipe._proposal_stage(
+                pipe.sam_params, img1024, rh, rw, imgc, h, w
+            )
+            feats, gem_pf = pipe._feature_stage(pipe.clip_params, props, imgc, h, w)
+            for toks, n_others, dflag, rflag, black, has_other in rows:
+                _sel, _score, _piu, _fiu, pa, fa = pipe._sentence_stage(
+                    pipe.clip_params,
+                    props,
+                    feats,
+                    gem_pf,
+                    h,
+                    w,
+                    toks,
+                    n_others,
+                    dflag,
+                    rflag,
+                    black,
+                    has_other,
+                    k1,
+                    k2,
+                    gt,
+                    pa,
+                    fa,
+                    True,
+                )
+        jax.block_until_ready((pa, fa))
+        times.append(time.perf_counter() - t0)
+    return min(times) / len(prepped) * 1e3
 
 
 def main():
@@ -84,14 +185,26 @@ def main():
     clip_params_c = jax.jit(lambda p: cast_pytree(p, compute))(clip_params)
     clip_params_c["logit_scale"] = jnp.asarray(clip_params["logit_scale"], jnp.float32)
 
-    class _Tok:
-        sot_token, eot_token = 49406, 49407
+    # real byte-BPE tokenizer (vendored merge table); the bench text path
+    # must exercise real BPE cost (~0.13 ms/sentence measured — VERDICT
+    # r3 #7). Hash fallback only if the vendored table is missing.
+    try:
+        from hybridgl_tpu.models.clip.tokenizer import default_tokenizer
 
-        def encode(self, text):
-            return [(hash(w) % 49000) + 1 for w in text.split()][:40]
+        bench_tok = default_tokenizer()
+    except Exception as e:
+        print(f"# BPE tokenizer unavailable ({e!r}); hash fallback", file=sys.stderr)
+
+        class _Tok:
+            sot_token, eot_token = 49406, 49407
+
+            def encode(self, text):
+                return [(hash(w) % 49000) + 1 for w in text.split()][:40]
+
+        bench_tok = _Tok()
 
     pipe = HybridGLPipeline(
-        cfg, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=_Tok()
+        cfg, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=bench_tok
     )
 
     rng = np.random.default_rng(0)
@@ -130,7 +243,7 @@ def main():
     realistic_pipe = None
     if os.environ.get("BENCH_SURVIVAL", "both") != "full":
         realistic_pipe = HybridGLPipeline(
-            cfg, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=_Tok()
+            cfg, sam_params, clip_params_c, parser=HeuristicParser(), tokenizer=bench_tok
         )
         survival = [21, 7, 33, 12, 48, 3, 17, 26]  # cycles per image
         counter = {"i": 0}
@@ -204,6 +317,28 @@ def main():
     img_per_s = float(np.median(rates))
     realistic = float(np.median(r_rates)) if r_rates else None
 
+    # ---- window-independent companion: serialized per-image DEVICE time.
+    # All stages of all images are dispatched back-to-back with inputs
+    # already device-resident (no host reads, no cleanup, no downloads in
+    # the timed region; the accumulator chain orders everything) and ONE
+    # block_until_ready closes the clock. The in-order TPU stream executes
+    # the dispatches serially, so min-of-reps is the device wall per image
+    # — tunnel congestion can only add dispatch overhead (~4 ms/dispatch,
+    # filtered by the min), never inflate device execution.
+    device_ms = None
+    if os.environ.get("BENCH_DEVICE_PROBE", "1") != "0":
+        try:
+            device_ms = _device_time_probe(pipe, cfg, samples)
+        except Exception as e:
+            print(f"# device-time probe failed: {e!r}", file=sys.stderr)
+
+    # ---- MFU grounding (analytic FLOPs model; docs/DESIGN.md audit)
+    from hybridgl_tpu.utils.flops import peak_flops, pipeline_flops_per_image
+
+    P = cfg.amg.max_proposals
+    fl = pipeline_flops_per_image(cfg, P, int(sentences_per_image))
+    peak = peak_flops(jax.devices()[0].device_kind)
+
     record = {
         "metric": "e2e_images_per_sec_per_chip",
         "value": round(img_per_s, 4),
@@ -212,6 +347,15 @@ def main():
     }
     if realistic is not None:
         record["realistic_survival_img_per_s"] = round(realistic, 4)
+    if device_ms is not None:
+        record["device_ms_per_img"] = round(device_ms, 1)
+    record["flops_per_img_t"] = round(fl["total"] / 1e12, 3)
+    if peak:
+        record["est_mfu_e2e"] = round(img_per_s * fl["total"] / peak, 4)
+        if device_ms is not None:
+            record["est_mfu_device"] = round(
+                fl["total"] / (device_ms / 1e3) / peak, 4
+            )
     print(json.dumps(record))
     print(
         f"# sam={sam_model} iters={n_iter} reps={n_reps} "

@@ -37,7 +37,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-NEG_INF = -1e30
 # single-tile q-row limit: above this the XLA path is used (the CLIP
 # sequences this kernel serves are 197 tokens; GEM's 785-token self-self
 # attention has different math and does not route here)

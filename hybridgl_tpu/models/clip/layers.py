@@ -87,9 +87,12 @@ def multi_head_attention(
         )
 
         # the head padding + q scale are folded into the projection
-        # weights (weight-only transforms, hoisted by XLA where the
-        # weights are loop-invariant) — the matmuls emit and consume the
-        # kernel's 128-lane head groups directly, no pad/reshape ops
+        # weights so the matmuls emit and consume the kernel's 128-lane
+        # head groups directly, no pad/reshape ops. In the scan path the
+        # per-block weights are scan-carried slices, so this reorder+pad
+        # re-executes each iteration — a [D, 3D] copy, ~1e-3 of the
+        # block's matmul FLOPs; pre-pad at stacking time if it ever
+        # shows in traces.
         lane = clip_lane(hd, jax.default_backend() == "cpu")
         wp, bp = pad_in_proj(p["in_proj_w"], p["in_proj_b"], H, lane)
         qkv = x @ wp.astype(x.dtype) + bp.astype(x.dtype)

@@ -53,12 +53,13 @@ def test_cls_expansion_matches_full_bias(rng):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(compact))
 
 
-def test_long_sequence_tiled_q(rng, monkeypatch):
-    """Sequences above the single-tile cap take the nq > 1 path on TPU; in
-    interpret mode the tiling thresholds are shape-exact, so this pins the
-    row-0 bias gating to the first q tile (qi == 0) logic via the kernel's
-    interpret path with an L that would tile on hardware."""
-    N, L, D, H = 2, 600, 16, 2
+def test_max_rows_boundary_runs_fused(rng, monkeypatch):
+    """L == MAX_ROWS is the largest sequence the single-tile kernel
+    accepts; pin that the fused path still runs (and agrees with XLA)
+    exactly at the cap rather than silently falling back."""
+    from hybridgl_tpu.kernels.clip_attention import MAX_ROWS
+
+    N, L, D, H = 2, MAX_ROWS, 16, 2
     p = _mha_params(rng, D)
     x = jnp.asarray(rng.standard_normal((N, L, D)), jnp.float32)
     ok = rng.random((N, L)) > 0.3
@@ -69,3 +70,28 @@ def test_long_sequence_tiled_q(rng, monkeypatch):
     monkeypatch.setenv("HYBRIDGL_FUSED_CLIP", "0")
     ref = multi_head_attention(p, x, H, cls_bias=cls)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_above_max_rows_routes_to_xla(rng, monkeypatch):
+    """Sequences above MAX_ROWS must route to the XLA path (the kernel is
+    single-tile whole-row); assert the routing directly by counting kernel
+    invocations instead of comparing two identical XLA runs."""
+    import hybridgl_tpu.models.clip.layers as layers_mod
+
+    N, L, D, H = 2, 600, 16, 2
+    p = _mha_params(rng, D)
+    x = jnp.asarray(rng.standard_normal((N, L, D)), jnp.float32)
+    calls = []
+    orig = layers_mod.use_fused_clip
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setenv("HYBRIDGL_FUSED_CLIP", "1")
+    monkeypatch.setattr(layers_mod, "use_fused_clip", counting)
+    out = multi_head_attention(p, x, H)
+    assert out.shape == (N, L, D)
+    # above the cap the L <= MAX_ROWS guard short-circuits before the
+    # fused-path predicate is even consulted
+    assert not calls
