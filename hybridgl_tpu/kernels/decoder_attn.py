@@ -118,7 +118,7 @@ def i2t_ln_update(
     dt = base.dtype
 
     St = S
-    for cand in (1024, 512, 256):
+    for cand in (2048, 1024, 512, 256):
         if S % cand == 0 and S >= cand:
             St = cand
             break

@@ -92,7 +92,7 @@ def t2i_ctx(
     GT = qw.shape[-1]
     assert qw.shape == (B, C, GT), (qw.shape, (B, C, GT))
     St = S
-    for cand in (1024, 512, 256):
+    for cand in (2048, 1024, 512, 256):
         if S % cand == 0 and S >= cand:
             St = cand
             break

@@ -1,0 +1,286 @@
+"""Fused decoder LAYER PASS: image->token update + the NEXT token->image
+flash accumulation in ONE sweep over the image tiles.
+
+The two-way decoder alternates token->image (t2i) and image->token (i2t)
+attentions over the same [B, S=4096, C=256] per-prompt image stream
+(reference: transformer.py:151-182). Served separately
+(kernels/decoder_attn.py + decoder_attn_t2i.py) each layer costs three
+full passes over that stream per chunk:
+
+    i2t_L  reads keys_L twice (score side + residual base), writes keys_{L+1}
+    t2i_{L+1} re-reads keys_{L+1}
+
+But t2i_{L+1}'s query-side weights depend only on TOKEN state that is
+fully known before i2t_L runs (the layer's self-attn/norm1 sit between
+them on the token path, which i2t never touches). So this kernel computes
+the keys_{L+1} tile in VMEM and IMMEDIATELY accumulates t2i_{L+1}'s online
+column softmax against it — keys cross HBM once per layer (one write; the
+next pass's single read serves both i2t sides), and the per-chunk image-
+stream kernel count halves:
+
+    pass A = i2t_0 (shared qside)   + t2i_1 accumulation
+    pass B = i2t_1                  + final-t2i accumulation
+
+Math per (prompt b, image tile): exactly decoder_attn.i2t_ln_update
+(grouped softmax over token groups via rotate-permutation + indicator
+matmuls) followed by decoder_attn_t2i's flash column recurrence on
+LN(base + out) (+ pe). Both are exact reassociations of the reference
+attention — no approximation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-5
+NEG_INF = -1e30
+
+
+def _grouped_softmax_rows(s, p_ref, g_ref, g2_ref, n_rot: int, gt: int):
+    """Softmax over token groups on the LANE axis of s [rows, GT]
+    (same trick as decoder_attn._body; padding lanes carry -1e30)."""
+    m = s
+    for r in range(n_rot):
+        perm = p_ref[:, r * gt : (r + 1) * gt]
+        m = jnp.maximum(m, jnp.dot(m, perm, preferred_element_type=jnp.float32))
+    e = jnp.exp(s - m)
+    denom = jnp.dot(
+        jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32),
+        g2_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    return e / jnp.maximum(denom, 1e-30)
+
+
+def _body(
+    qside,  # [St, Cq] i2t score-side stream (VMEM value)
+    base,  # [St, C] residual base (VMEM value)
+    pe,  # [St, C] positional encoding tile (VMEM value)
+    w_ref,
+    off_ref,
+    vo_ref,
+    const_ref,
+    g_ref,
+    g2_ref,
+    p_ref,
+    s_ref,
+    t_ref,
+    qw_ref,
+    keys_ref,  # out [1, St, C]
+    ctx_ref,  # out [1, GT2, C] f32
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    n_rot: int,
+    gt: int,
+    nk: int,
+    dt,
+):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # ---- i2t + LN (decoder_attn._body math) -> keys' tile in VMEM
+    s = jnp.dot(qside, w_ref[0].astype(qside.dtype), preferred_element_type=jnp.float32)
+    s = s + off_ref[0]
+    attn = _grouped_softmax_rows(s, p_ref, g_ref, g2_ref, n_rot, gt).astype(dt)
+    out = jnp.dot(attn, vo_ref[0], preferred_element_type=jnp.float32)
+    x = base.astype(jnp.float32) + out + const_ref[0]
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    keys = (x - mu) * jax.lax.rsqrt(var + LN_EPS) * s_ref[0] + t_ref[0]
+    keys = keys.astype(dt)
+    keys_ref[0] = keys
+
+    # ---- next t2i flash column update against the fresh keys' tile
+    kpe = (keys.astype(jnp.float32) + pe.astype(jnp.float32)).astype(dt)
+    s2 = jnp.dot(
+        kpe, qw_ref[0].astype(dt), preferred_element_type=jnp.float32
+    )  # [St, GT2]
+    tile_max = jnp.max(s2, axis=0, keepdims=True)
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, tile_max.T)
+    p = jnp.exp(s2 - m_new.T)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True).T
+    pk = jax.lax.dot_general(
+        p.astype(dt), keys, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pk
+    m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        ctx_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+
+
+def _kernel_shared(qside_ref, base_ref, pe_ref, *rest, n_rot, gt, nk, dt):
+    """Pass-A variant: qside/base are independent broadcast streams
+    (layer 0: the once-projected image queries + the raw image)."""
+    _body(
+        qside_ref[0],
+        base_ref[0],
+        pe_ref[0],
+        *rest,
+        n_rot=n_rot,
+        gt=gt,
+        nk=nk,
+        dt=dt,
+    )
+
+
+def _kernel_keys(keys_in_ref, pe_ref, *rest, n_rot, gt, nk, dt):
+    """Pass-B variant: qside == base == the per-prompt keys stream, with
+    pe added on the score side in VMEM (i2t over kpe) — ONE fetch serves
+    both i2t sides."""
+    k = keys_in_ref[0]
+    q = (k.astype(jnp.float32) + pe_ref[0].astype(jnp.float32)).astype(k.dtype)
+    _body(q, k, pe_ref[0], *rest, n_rot=n_rot, gt=gt, nk=nk, dt=dt)
+
+
+def _softmax_matrices(heads: int, tp: int):
+    GT = heads * tp
+    n_rot = max(1, int(np.ceil(np.log2(tp)))) if tp > 1 else 0
+    perms = []
+    cols = np.arange(GT)
+    g0 = (cols // tp) * tp
+    for r in range(max(n_rot, 1)):
+        d = 1 << r
+        src = g0 + (cols - g0 + d) % tp
+        P = np.zeros((GT, GT), np.float32)
+        P[src, cols] = 1.0
+        perms.append(P)
+    p_all = jnp.asarray(np.concatenate(perms, axis=1))
+    eye = np.eye(heads, dtype=np.float32)
+    G = jnp.asarray(np.repeat(eye, tp, axis=0))
+    G2 = jnp.asarray(np.repeat(eye, tp, axis=1))
+    return p_all, G, G2, n_rot
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "tp", "shared_qside", "interpret")
+)
+def i2t_ln_then_t2i(
+    qside: jax.Array,  # [B or 1, S, Cq]; with shared_qside=False this IS keys
+    base: jax.Array,  # [B or 1, S, C] residual base (ignored unless shared)
+    pe: jax.Array,  # [1 or B, S, C]
+    w: jax.Array,  # [B, Cq, GT] i2t score weights (scale folded)
+    off: jax.Array,  # [B, GT] f32 (-1e30 on padding lanes)
+    vo: jax.Array,  # [B, GT, C]
+    const: jax.Array,  # [C] f32
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    qw_next: jax.Array,  # [B, C, GT2] f32 next-t2i score weights (scale folded)
+    heads: int,
+    tp: int,
+    shared_qside: bool,
+    interpret: bool | None = None,
+):
+    """Returns (keys' [B, S, C], ctx [B, GT2, C] f32) where keys' =
+    LN(base + i2t(qside)) and ctx = softmax_k(qw_next . (keys'+pe)) @ keys'.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B = w.shape[0]
+    S = qside.shape[-2]
+    Cq = qside.shape[-1]
+    C = base.shape[-1] if shared_qside else Cq
+    GT = heads * tp
+    GT2 = qw_next.shape[-1]
+    assert w.shape == (B, Cq, GT), (w.shape, (B, Cq, GT))
+    assert vo.shape == (B, GT, C)
+    assert qw_next.shape == (B, C, GT2)
+    dt = base.dtype if shared_qside else qside.dtype
+
+    St = S
+    # St=2048 measured 78 vs 81 us/pt at St=1024 on v5e (B=64 decode scan);
+    # St=4096 exceeds the 16 MB scoped-VMEM limit (17.9 MB stack).
+    for cand in (2048, 1024, 512, 256):
+        if S % cand == 0 and S >= cand:
+            St = cand
+            break
+    nk = S // St
+
+    p_all, G, G2, n_rot = _softmax_matrices(heads, tp)
+
+    q_bcast = qside.shape[0] == 1
+    b_bcast = base.shape[0] == 1
+    pe_bcast = pe.shape[0] == 1
+
+    common_specs = [
+        pl.BlockSpec((1, Cq, GT), lambda b, k: (b, 0, 0)),
+        pl.BlockSpec((1, 1, GT), lambda b, k: (b, 0, 0)),
+        pl.BlockSpec((1, GT, C), lambda b, k: (b, 0, 0)),
+        pl.BlockSpec((1, C), lambda b, k: (0, 0)),
+        pl.BlockSpec((GT, heads), lambda b, k: (0, 0)),
+        pl.BlockSpec((heads, GT), lambda b, k: (0, 0)),
+        pl.BlockSpec(p_all.shape, lambda b, k: (0, 0)),
+        pl.BlockSpec((1, C), lambda b, k: (0, 0)),
+        pl.BlockSpec((1, C), lambda b, k: (0, 0)),
+        pl.BlockSpec((1, C, GT2), lambda b, k: (b, 0, 0)),
+    ]
+    common_args = (
+        w.astype(jnp.float32),
+        off[:, None, :].astype(jnp.float32),
+        vo.astype(dt),
+        const[None].astype(jnp.float32),
+        G,
+        G2,
+        p_all,
+        ln_scale[None].astype(jnp.float32),
+        ln_bias[None].astype(jnp.float32),
+        qw_next.astype(jnp.float32),
+    )
+    pe_spec = pl.BlockSpec((1, St, C), lambda b, k: (0 if pe_bcast else b, k, 0))
+
+    if shared_qside:
+        kernel = functools.partial(
+            _kernel_shared, n_rot=n_rot if tp > 1 else 0, gt=GT, nk=nk, dt=dt
+        )
+        in_specs = [
+            pl.BlockSpec((1, St, Cq), lambda b, k: (0 if q_bcast else b, k, 0)),
+            pl.BlockSpec((1, St, C), lambda b, k: (0 if b_bcast else b, k, 0)),
+            pe_spec,
+        ] + common_specs
+        args = (qside.astype(dt), base.astype(dt), pe.astype(dt)) + common_args
+    else:
+        kernel = functools.partial(
+            _kernel_keys, n_rot=n_rot if tp > 1 else 0, gt=GT, nk=nk, dt=dt
+        )
+        in_specs = [
+            pl.BlockSpec((1, St, Cq), lambda b, k: (0 if q_bcast else b, k, 0)),
+            pe_spec,
+        ] + common_specs
+        args = (qside.astype(dt), pe.astype(dt)) + common_args
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, St, C), lambda b, k: (b, k, 0)),
+            pl.BlockSpec((1, GT2, C), lambda b, k: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, C), dt),
+            jax.ShapeDtypeStruct((B, GT2, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GT2, 1), jnp.float32),
+            pltpu.VMEM((GT2, 1), jnp.float32),
+            pltpu.VMEM((GT2, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)

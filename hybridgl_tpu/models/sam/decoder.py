@@ -471,18 +471,24 @@ def use_fused_t2i() -> bool:
     return env_flag("HYBRIDGL_FUSED_T2I", default=True)
 
 
-def _t2i_fused(p, q_tok, keys, pe, num_heads: int, prep=None):
-    """_t2i_attn with the score/readout over the image stream done by the
-    t2i_ctx kernel (same side-switched math; kpe built in VMEM). With
-    ``prep`` (prepare_decoder_params) the score weights / readout products
-    come precomputed — one matmul replaces the projection+fold einsums."""
-    from ...kernels.decoder_attn_t2i import t2i_ctx
+def use_fused_pass() -> bool:
+    """Fused layer pass (kernels/decoder_pass.py): each i2t+LN update also
+    accumulates the NEXT t2i's flash statistics in the same sweep, so the
+    per-prompt image stream crosses HBM once per layer instead of three
+    times. Default ON; opt OUT via $HYBRIDGL_FUSED_PASS=0 (falls back to
+    the separate i2t/t2i kernels)."""
+    from ...utils.env import env_flag
 
-    B = q_tok.shape[0]
-    dt = q_tok.dtype
-    T = q_tok.shape[1]
+    return env_flag("HYBRIDGL_FUSED_PASS", default=True)
+
+
+def _t2i_qw(p, q_tok, num_heads: int, prep=None):
+    """The t2i score weights in the kernel layout: QW [B, C, GT] f32 plus
+    the epilogue products (wvo [h, C, C], const [C], T, tp). Shared by
+    _t2i_fused and the fused layer pass."""
     if prep is None:
-        prep = _prep_t2i(p, num_heads)  # raw params: fold on the fly
+        prep = _prep_t2i(p, num_heads)
+    B, T = q_tok.shape[0], q_tok.shape[1]
     qw = (
         jnp.dot(
             q_tok.astype(prep["score_w"].dtype),
@@ -491,20 +497,37 @@ def _t2i_fused(p, q_tok, keys, pe, num_heads: int, prep=None):
         )
         + prep["score_b"]
     ).reshape(B, T, num_heads, -1).transpose(0, 2, 1, 3)  # [B, h, T, C]
-    wvo = prep["wvo"]
-    const = prep["const"].astype(dt)
     tp = _tp_for(T)
     qw = jnp.pad(qw, ((0, 0), (0, 0), (0, tp - T), (0, 0)))
-    C = keys.shape[-1]
+    C = qw.shape[-1]
     QW = qw.transpose(0, 3, 1, 2).reshape(B, C, num_heads * tp)
-    ctx = t2i_ctx(keys, pe, QW)  # [B, GT, C] f32
+    return QW, prep["wvo"], prep["const"], T, tp
+
+
+def _t2i_epilogue(ctx, wvo, const, T: int, tp: int, num_heads: int, dt):
+    """ctx [B, h*tp, C] f32 -> attention output [B, T, C] (the token-side
+    readout shared by _t2i_fused and the fused layer pass)."""
+    B, _, C = ctx.shape
     ctx = (
         ctx.reshape(B, num_heads, tp, C)[:, :, :T]
         .transpose(0, 2, 1, 3)
         .astype(dt)
     )  # [B, T, h, C]
     out = jnp.einsum("bthc,hce->bte", ctx, wvo.astype(dt))
-    return out + const
+    return out + const.astype(dt)
+
+
+def _t2i_fused(p, q_tok, keys, pe, num_heads: int, prep=None):
+    """_t2i_attn with the score/readout over the image stream done by the
+    t2i_ctx kernel (same side-switched math; kpe built in VMEM). With
+    ``prep`` (prepare_decoder_params) the score weights / readout products
+    come precomputed — one matmul replaces the projection+fold einsums."""
+    from ...kernels.decoder_attn_t2i import t2i_ctx
+
+    dt = q_tok.dtype
+    QW, wvo, const, T, tp = _t2i_qw(p, q_tok, num_heads, prep=prep)
+    ctx = t2i_ctx(keys, pe, QW)  # [B, GT, C] f32
+    return _t2i_epilogue(ctx, wvo, const, T, tp, num_heads, dt)
 
 
 def _i2t_prep_generic(p, k_tok, v_tok, num_heads: int, tp: int):
@@ -577,6 +600,106 @@ def _i2t_prep_shared_q(p, k_tok, v_tok, num_heads: int, tp: int):
     )
 
 
+def _two_way_fused_passes(
+    p,
+    image_embedding: jax.Array,  # [g*g, C] shared across the prompt batch
+    image_pe: jax.Array,  # [g*g, C]
+    point_embedding: jax.Array,  # [B, T, C]
+    cfg: SamConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """two_way_transformer(shared_image=True) restructured around the fused
+    layer pass (kernels/decoder_pass.py): layer i's i2t+LN sweep also
+    accumulates layer i+1's (or the final attention's) t2i statistics, so
+    the [B, S, C] image stream crosses HBM once per layer. Exact same math
+    as the unfused path — the t2i query side depends only on token state
+    (self-attn/norm1) that is complete before the preceding i2t runs."""
+    from ...kernels.decoder_pass import i2t_ln_then_t2i
+
+    h = cfg.decoder_heads
+    layers = p["layers"]
+    L = len(layers)
+    dt = point_embedding.dtype
+
+    # layer 0 token-side ops (reference transformer.py:155-166): the
+    # image-side t2i here attends the SHARED image — tiny, stays XLA
+    layer0 = layers[0]
+    queries = _attn(layer0["self_attn"], point_embedding, point_embedding, point_embedding, h)
+    queries = _ln(layer0["norm1"], queries)
+    q = queries + point_embedding
+    k_img = image_embedding + image_pe
+    queries = queries + _attn_shared_kv(
+        layer0["cross_t2i"], q, k_img, image_embedding, h
+    )
+    queries = _ln(layer0["norm2"], queries)
+    queries = queries + _mlp_relu(layer0["mlp_fc"], layer0["mlp_proj"], queries)
+    queries = _ln(layer0["norm3"], queries)
+
+    tp = _tp_for(queries.shape[1])
+    pe_b = image_pe[None].astype(dt)
+    keys = None
+    for i in range(L):
+        layer = layers[i]
+        q = queries + point_embedding
+        if i == 0:
+            p0 = layer["cross_i2t"]
+            qproj = _lin(p0["q"], k_img.astype(dt))  # [S, D], projected once
+            prep0 = layer.get("prepared_i2t")
+            if prep0 is not None:
+                w, off, vo, const = _i2t_shared_q_from_prepared(prep0, q, queries, h, tp)
+            else:
+                w, off, vo, const = _i2t_prep_shared_q(p0, q, queries, h, tp)
+            qside, base, shared = qproj[None], image_embedding[None].astype(dt), True
+        else:
+            prep_i = layer.get("prepared_i2t")
+            if prep_i is not None:
+                w, off, vo, const = _i2t_from_prepared(prep_i, q, queries, h, tp)
+            else:
+                w, off, vo, const = _i2t_prep_generic(layer["cross_i2t"], q, queries, h, tp)
+            qside, base, shared = keys, keys, False
+        # next-t2i prologue: the consuming layer's self-attn/norm1 and its
+        # score weights are pure token work — complete before this pass
+        if i + 1 < L:
+            nxt = layers[i + 1]
+            qn = queries + point_embedding
+            queries_n = queries + _attn(nxt["self_attn"], qn, qn, queries, h)
+            queries_n = _ln(nxt["norm1"], queries_n)
+            qt = queries_n + point_embedding
+            QW, wvo, constT, T, tp2 = _t2i_qw(
+                nxt["cross_t2i"], qt, h, prep=nxt.get("prepared_t2i")
+            )
+        else:
+            queries_n = queries
+            qt = queries_n + point_embedding
+            QW, wvo, constT, T, tp2 = _t2i_qw(
+                p["final_attn"], qt, h, prep=p.get("prepared_final_t2i")
+            )
+        keys, ctx = i2t_ln_then_t2i(
+            qside,
+            base,
+            pe_b,
+            w,
+            off,
+            vo,
+            const,
+            layer["norm4"]["scale"],
+            layer["norm4"]["bias"],
+            QW,
+            h,
+            tp,
+            shared_qside=shared,
+        )
+        queries_n = queries_n + _t2i_epilogue(ctx, wvo, constT, T, tp2, h, dt)
+        if i + 1 < L:
+            nxt = layers[i + 1]
+            queries_n = _ln(nxt["norm2"], queries_n)
+            queries_n = queries_n + _mlp_relu(nxt["mlp_fc"], nxt["mlp_proj"], queries_n)
+            queries_n = _ln(nxt["norm3"], queries_n)
+        else:
+            queries_n = _ln(p["norm_final"], queries_n)
+        queries = queries_n
+    return queries, keys
+
+
 def two_way_transformer(
     p,
     image_embedding: jax.Array,  # [B, g*g, C] — or [g*g, C] with shared_image
@@ -597,6 +720,10 @@ def two_way_transformer(
     per point chunk."""
     h = cfg.decoder_heads
     queries = point_embedding
+    if shared_image and use_fused_pass():
+        return _two_way_fused_passes(
+            p, image_embedding, image_pe, point_embedding, cfg
+        )
     if shared_image:
         layer0 = p["layers"][0]
         # layer 0 REPLACES queries with the self-attention output — no

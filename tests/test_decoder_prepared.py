@@ -99,3 +99,23 @@ def test_stack_encoder_runs_prepares_decoder(rng):
         assert "prepared_t2i" in layer and "prepared_i2t" in layer
     # raw weights are retained (non-fused fallbacks keep working)
     assert "cross_t2i" in stacked["decoder"]["transformer"]["layers"][0]
+
+
+@pytest.mark.parametrize("prepared", [False, True])
+def test_fused_pass_matches_unfused(rng, monkeypatch, prepared):
+    """The fused layer pass (kernels/decoder_pass.py: i2t+LN + next-t2i in
+    one sweep) must reproduce the separate-kernel shared-image path
+    exactly, with raw AND prepared params."""
+    cfg, p_dec, emb, pe, sparse, dense = _setup(rng)
+    if prepared:
+        p_dec = prepare_decoder_params(p_dec, cfg)
+    monkeypatch.setenv("HYBRIDGL_FUSED_PASS", "0")
+    ref_m, ref_iou = predict_masks(p_dec, emb, pe, sparse, cfg, dense_prompts=dense)
+    monkeypatch.setenv("HYBRIDGL_FUSED_PASS", "1")
+    out_m, out_iou = predict_masks(p_dec, emb, pe, sparse, cfg, dense_prompts=dense)
+    np.testing.assert_allclose(
+        np.asarray(out_m), np.asarray(ref_m), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_iou), np.asarray(ref_iou), atol=2e-4, rtol=2e-4
+    )
