@@ -58,6 +58,13 @@ def _grouped_softmax_rows(s, p_ref, g_ref, g2_ref, n_rot: int, gt: int):
     return e / jnp.maximum(denom, 1e-30)
 
 
+def _ln_rows(x, scale, bias):
+    """Row LayerNorm of x [rows, C] f32 via VPU lane reductions."""
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
 def _body(
     qside,  # [St, Cq] i2t score-side stream (VMEM value)
     base,  # [St, C] residual base (VMEM value)
@@ -97,10 +104,7 @@ def _body(
     attn = _grouped_softmax_rows(s, p_ref, g_ref, g2_ref, n_rot, gt).astype(dt)
     out = jnp.dot(attn, vo_ref[0], preferred_element_type=jnp.float32)
     x = base.astype(jnp.float32) + out + const_ref[0]
-    mu = x.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    keys = (x - mu) * jax.lax.rsqrt(var + LN_EPS) * s_ref[0] + t_ref[0]
-    keys = keys.astype(dt)
+    keys = _ln_rows(x, s_ref[0], t_ref[0]).astype(dt)
     keys_ref[0] = keys
 
     # ---- next t2i flash column update against the fresh keys' tile

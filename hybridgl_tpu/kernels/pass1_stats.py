@@ -50,18 +50,25 @@ def _stats_kernel(
     tile: int,
     thresh: float,
     offset: float,
+    pre_half: bool = False,
 ):
     y0 = win_ref[0]
     x0 = win_ref[1]
     dh = win_ref[2]
     dw = win_ref[3]
-    # column half-transform in VMEM (exactly the einsum the callers used
-    # to materialise in HBM, f32 like before)
-    tmp = jnp.dot(
-        low_ref[0].astype(jnp.float32),
-        wxt_ref[...],
-        preferred_element_type=jnp.float32,
-    )  # [n, C]
+    if pre_half:
+        # the caller already applied the column transform (XLA folds the
+        # decoder's blocked->interleaved permutation into that dot for
+        # free); low_ref IS the [n, C] half-transform
+        tmp = low_ref[0].astype(jnp.float32)
+    else:
+        # column half-transform in VMEM (exactly the einsum the callers
+        # used to materialise in HBM, f32 like before)
+        tmp = jnp.dot(
+            low_ref[0].astype(jnp.float32),
+            wxt_ref[...],
+            preferred_element_type=jnp.float32,
+        )  # [n, C]
     # NB: tpu.iota is integer-only; cast after (f32 compares against the
     # SMEM window scalars)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(jnp.float32)
@@ -118,14 +125,27 @@ def pass1_stats(
     B, n, n2 = low.shape
     C = WxT.shape[1]
     assert WxT.shape == (n2, C), (WxT.shape, (n2, C))
+    return _stats_call(
+        low, WxT.astype(jnp.float32), Wy, window, thresh, offset, tile,
+        interpret, pre_half=False,
+    )
+
+
+def _stats_call(low, WxT, Wy, window, thresh, offset, tile, interpret, *, pre_half):
+    B, n, n2 = low.shape
+    C = Wy.shape[0]
     assert Wy.shape == (C, n), (Wy.shape, (C, n))
     if C % tile:
         tile = C  # tiny test frames: single tile
     win = jnp.stack(
         [jnp.asarray(v, jnp.float32) for v in window]
     )  # [4]
+    if pre_half:
+        # the kernel never reads wxt_ref in this mode; feed a lane-wide dummy
+        WxT = jnp.zeros((1, 128), jnp.float32)
     kernel = functools.partial(
-        _stats_kernel, n=n, C=C, tile=tile, thresh=thresh, offset=offset
+        _stats_kernel, n=n, C=C, tile=tile, thresh=thresh, offset=offset,
+        pre_half=pre_half,
     )
     counts, row_any, col_any = pl.pallas_call(
         kernel,
@@ -133,7 +153,7 @@ def pass1_stats(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n, n2), lambda b: (b, 0, 0)),
-            pl.BlockSpec((n2, C), lambda b: (0, 0)),
+            pl.BlockSpec(WxT.shape, lambda b: (0, 0)),
             pl.BlockSpec((C, n), lambda b: (0, 0)),
         ],
         out_specs=[
@@ -147,6 +167,51 @@ def pass1_stats(
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         interpret=interpret,
-    )(win, low, WxT.astype(jnp.float32), Wy)
+    )(win, low, WxT, Wy)
     stab = counts[:, 0, 0] / jnp.maximum(counts[:, 0, 1], 1.0)
     return stab, row_any[:, 0] > 0.5, col_any[:, 0] > 0.5
+
+
+def half_transform_blocked(y: jax.Array, WxT: jax.Array, g: int, nmt: int):
+    """Column half-transform straight off the decoder's BLOCKED mask logits.
+
+    ``y`` is `upscale_hyper_blocked`'s [B, g*g, 16*nmt] output (minor axis
+    ordered (i, j, e, f, m)); the interleaved low-res frame it encodes has
+    rows 4h+2i+e and columns 4w+2j+f. Contracting (w, j, f) against
+    ``WxT`` [4g, C] reshaped [g, 2, 2, C] yields exactly
+    ``interleave(y) @ WxT`` — but as a dot, so XLA folds the
+    blocked->interleaved permutation into the contraction instead of
+    materialising it as a strided copy (measured ~774 ms/img of pure
+    relayout on the PhraseCut multicrop pass 1 when the consumer was the
+    Pallas stats kernel).
+
+    Returns [B*nmt, 4g, C] f32, candidate-major like the callers' flats.
+    """
+    B = y.shape[0]
+    C = WxT.shape[1]
+    assert WxT.shape[0] == 4 * g, (WxT.shape, g)
+    y8 = y.reshape(B, g, g, 2, 2, 2, 2, nmt).astype(jnp.float32)
+    Wxb = WxT.astype(jnp.float32).reshape(g, 2, 2, C)
+    tmp = jnp.einsum(
+        "bhwijefm,wjfk->bmhiek", y8, Wxb, preferred_element_type=jnp.float32
+    )
+    return tmp.reshape(B * nmt, 4 * g, C)
+
+
+def pass1_stats_half(
+    tmp: jax.Array,  # [B, n, C] f32 pre-applied column half-transform
+    Wy: jax.Array,  # [C, n] f32 composed row weights
+    window,  # (y0, x0, dh, dw) traced scalars
+    thresh: float,
+    offset: float,
+    tile: int = 256,
+    interpret: bool | None = None,
+):
+    """`pass1_stats` when the column transform was already applied in XLA
+    (see `half_transform_blocked`). Same returns, identical math."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _stats_call(
+        tmp, None, Wy, window, thresh, offset, tile, interpret,
+        pre_half=True,
+    )

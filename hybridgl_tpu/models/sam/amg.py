@@ -37,8 +37,9 @@ from ...kernels.masks import (
     box_near_crop_edge,
 )
 from ...kernels.nms import kept_in_score_order, nms
-from ...kernels.pass1_stats import pass1_stats
+from ...kernels.pass1_stats import half_transform_blocked, pass1_stats_half
 from ...kernels.resize import _composed_axis_weights, place_region, place_two_stage
+from ...kernels.upscale_hyper import interleave_blocked_masks
 from .prompt_encoder import dense_pe, embed_points, no_mask_dense
 from .decoder import predict_masks
 from .sam import encode, predict_points, preprocess_padded
@@ -167,17 +168,17 @@ def generate_proposals(
     def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]  # [B, 1, 2]
         labels = jnp.ones((B, 1), jnp.float32)
-        low_res, iou_preds = predict_points(
+        blocked, iou_preds = predict_points(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True,
-            pe=pe_hoist, dense=dense_hoist,
-        )  # [B, 3, 256, 256], [B, 3]
-        flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        # both composed-resize matmuls run INSIDE the stats kernel — the
-        # [B*M, 256, C] f32 half-transform (~400 MB/chunk at C=1024) is
-        # never materialised in HBM
-        stab, row_any, col_any = pass1_stats(
-            flat,
-            Wx.T,
+            pe=pe_hoist, dense=dense_hoist, return_blocked=True,
+        )  # [B, g*g, 16*3] blocked logits, [B, 3]
+        # the column half-transform contracts the BLOCKED decoder output
+        # directly (XLA folds the spatial interleave into the dot; the
+        # strided-copy relayout it replaces measured ~774 ms/img on the
+        # multicrop trace); the row matmul + thresholds run in the kernel
+        half = half_transform_blocked(blocked, Wx.T, sam_cfg.embed_grid, M)
+        stab, row_any, col_any = pass1_stats_half(
+            half,
             Wy,
             (0, 0, h, w),
             sam_cfg.mask_threshold,
@@ -198,6 +199,11 @@ def generate_proposals(
         valid &= row_any.any(axis=-1)  # drop empty masks
         outs = (iou_preds.reshape(-1), stab, boxes, valid)
         if cache_low_res:
+            # pass 2 gathers interleaved 256^2 frames; the relayout is tiny
+            # at cacheable candidate counts (single-crop: ~50 MB/img)
+            flat = interleave_blocked_masks(
+                blocked, sam_cfg.embed_grid, M
+            ).reshape(B * M, n_low, n_low)
             outs = outs + (flat,)
         return None, outs
 
@@ -328,14 +334,13 @@ def _score_crop_candidates(
     def chunk_body(_, pts01):
         coords = (pts01 * scale_1024)[:, None, :]
         labels = jnp.ones((B, 1), jnp.float32)
-        low_res, iou_preds = predict_points(
+        blocked, iou_preds = predict_points(
             p_sam, embedding, coords, labels, sam_cfg, multimask_output=True,
-            pe=pe_hoist, dense=dense_hoist,
+            pe=pe_hoist, dense=dense_hoist, return_blocked=True,
         )
-        flat = low_res.reshape(B * M, low_res.shape[-2], low_res.shape[-1])
-        stab, row_any, col_any = pass1_stats(
-            flat,
-            Wx.T,
+        half = half_transform_blocked(blocked, Wx.T, sam_cfg.embed_grid, M)
+        stab, row_any, col_any = pass1_stats_half(
+            half,
             Wy,
             (y0, x0, ch, cw),
             sam_cfg.mask_threshold,

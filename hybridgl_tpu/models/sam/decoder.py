@@ -868,11 +868,20 @@ def predict_masks(
     cfg: SamConfig,
     dense_prompts: jax.Array | None = None,  # [B, g, g, C] or None
     multimask_output: bool = True,
+    return_blocked: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """All-prompts-at-once mask prediction.
 
     Returns (mask logits [B, M, 4g, 4g], iou predictions [B, M]) where M is
     3 with multimask_output else 1 (reference: mask_decoder.py:94-149).
+
+    With ``return_blocked=True`` the mask logits come back in the BLOCKED
+    upscale layout [B, g*g, 16*M] f32 (minor axis (i, j, e, f, m); row
+    4h+2i+e / col 4w+2j+f of the interleaved frame — see
+    kernels/upscale_hyper.py:interleave_blocked_masks). Dot consumers
+    (resize/placement/stats half-transforms) can contract this layout
+    directly, letting XLA fold the spatial interleave into the matmul
+    instead of materialising a strided-copy relayout.
     """
     B = sparse_prompts.shape[0]
     g = cfg.embed_grid
@@ -983,6 +992,9 @@ def predict_masks(
             pu["b2"],
             hbd.astype(dt),
         )
+        if return_blocked:
+            iou_pred = _mlp_stack(p_dec["iou_head"], iou_token_out).astype(jnp.float32)
+            return y.astype(jnp.float32), iou_pred[:, sel]
         masks = interleave_blocked_masks(y, g, n_sel)
     else:
         w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)  # [C, i*j*c4]
@@ -995,6 +1007,13 @@ def predict_masks(
         x = jnp.einsum("bhwijc,ck->bhwijk", x, w2.astype(x.dtype))
         x = x.reshape(B, g, g, 2, 2, 2, 2, c8) + u2["b"].astype(x.dtype)
         x = jax.nn.gelu(x, approximate=False)  # [b, h, w, i, j, e, f, c]
+        if return_blocked:
+            y = jnp.einsum(
+                "bmc,bhwijefc->bhwijefm", hyper, x,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32).reshape(B, g * g, 16 * n_sel)
+            iou_pred = _mlp_stack(p_dec["iou_head"], iou_token_out).astype(jnp.float32)
+            return y, iou_pred[:, sel]
         # rows are (h, i, e) -> 4h+2i+e, cols (w, j, f) -> 4w+2j+f
         masks = jnp.einsum(
             "bmc,bhwijefc->bmhiewjf", hyper, x, preferred_element_type=jnp.float32

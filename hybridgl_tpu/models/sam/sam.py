@@ -67,10 +67,13 @@ def predict_points(
     multimask_output: bool = True,
     pe=None,
     dense=None,
+    return_blocked: bool = False,
 ):
     """Batched point-prompted prediction -> (low-res logits [B,M,256,256],
     iou preds [B,M]). Mirrors SamPredictor.predict_torch
     (reference: predictor.py:168-243) without the host round-trips.
+    ``return_blocked`` passes through to predict_masks (logits come back
+    [B, g*g, 16*M] in the blocked upscale layout).
 
     ``pe``/``dense`` let loop callers (the AMG decode scan) hoist the
     chunk-invariant dense positional encoding / no-mask embedding out of
@@ -90,6 +93,7 @@ def predict_points(
         cfg,
         dense_prompts=dense,
         multimask_output=multimask_output,
+        return_blocked=return_blocked,
     )
 
 

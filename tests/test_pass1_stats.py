@@ -64,3 +64,81 @@ def test_pass1_stats_zero_lo_is_filtered_like_nan(rng):
     )
     assert not bool(row_any.any())
     assert np.all(np.asarray(stab) == 0.0)
+
+
+def test_blocked_half_transform_path_matches_interleaved(rng):
+    """pass1_stats_half over half_transform_blocked(y) == interleaving y
+    first and running the classic kernel (the AMG pass-1 production path:
+    the decoder's blocked upscale output is consumed without the strided
+    relayout copy)."""
+    from hybridgl_tpu.kernels.pass1_stats import (
+        half_transform_blocked,
+        pass1_stats_half,
+    )
+    from hybridgl_tpu.kernels.upscale_hyper import interleave_blocked_masks
+
+    g, M, B, C, mid = 16, 3, 4, 96, 64
+    n = 4 * g
+    y = jnp.asarray(rng.standard_normal((B, g * g, 16 * M)).astype(np.float32))
+    window = (3.0, 5.0, 50, 40)
+    Wy = _composed_axis_weights(C, n, mid, int(mid * 0.9), 3, 50)
+    Wx = _composed_axis_weights(C, n, mid, int(mid * 0.7), 5, 40)
+
+    low = interleave_blocked_masks(y, g, M).reshape(B * M, n, n)
+    s0, r0, c0 = pass1_stats(low, Wx.T, Wy, window, 0.0, 1.0)
+
+    half = half_transform_blocked(y, Wx.T, g, M)
+    s1, r1, c1 = pass1_stats_half(half, Wy, window, 0.0, 1.0)
+
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_predict_masks_return_blocked_interleaves_to_masks(rng):
+    """predict_masks(return_blocked=True) carries exactly the standard
+    output, modulo the deferred spatial interleave (the AMG pass-1
+    production path relies on this layout contract) — fused kernels on
+    and off."""
+    import os
+    import sys
+
+    import pytest
+
+    from hybridgl_tpu.core.params import init_sam
+    from hybridgl_tpu.kernels.upscale_hyper import interleave_blocked_masks
+    from hybridgl_tpu.models.sam.decoder import predict_masks
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref_sam import tiny_sam_config
+
+    cfg = tiny_sam_config()
+    p_dec = init_sam(jax.random.PRNGKey(3), cfg)["decoder"]
+    B = 4
+    g, C = cfg.embed_grid, cfg.prompt_dim
+    emb = jnp.asarray(rng.standard_normal((g, g, C), dtype=np.float32) * 0.5)
+    pe = jnp.asarray(rng.standard_normal((g, g, C), dtype=np.float32) * 0.5)
+    sparse = jnp.asarray(rng.standard_normal((B, 3, C), dtype=np.float32) * 0.5)
+
+    for fused in ("1", "0"):
+        os.environ["HYBRIDGL_FUSED_UPSCALE"] = fused
+        try:
+            masks, iou = predict_masks(
+                p_dec, emb, pe, sparse, cfg, multimask_output=True
+            )
+            y, iou_b = predict_masks(
+                p_dec, emb, pe, sparse, cfg, multimask_output=True,
+                return_blocked=True,
+            )
+        finally:
+            del os.environ["HYBRIDGL_FUSED_UPSCALE"]
+        M = masks.shape[1]
+        np.testing.assert_allclose(
+            np.asarray(interleave_blocked_masks(y, g, M)),
+            np.asarray(masks),
+            atol=1e-5,
+            err_msg=f"fused={fused}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(iou_b), np.asarray(iou), atol=1e-6, err_msg=f"fused={fused}"
+        )
