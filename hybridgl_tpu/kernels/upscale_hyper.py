@@ -16,7 +16,9 @@ This kernel runs the whole tail in VMEM as three row-parallel MXU matmuls
 over [rows, lanes]-shaped blocks (every lane dim a multiple of 128 at SAM
 shapes):
 
-    z1[r, (i,j,c4)]       = src[r] @ W1            + b1   -> LN -> gelu
+    d [r, (i,j,c4)]       = src[r] @ W1c           + b1c  -> LN -> gelu
+                            (W1c group-mean-centered: d IS the LN-centered
+                             activation, see center_w1)
     z2[r, (i,j,e,f,c8)]   = z1[r] @ kron(I4, W2)   + b2   -> gelu
     y [r, (i,j,e,f,m)]    = z2[r] @ kron(I16, H_b)
 
@@ -41,43 +43,42 @@ LN_EPS = 1e-6  # mask_decoder's LayerNorm2d (common.py) uses eps=1e-6
 _INV_SQRT2 = 2.0**-0.5
 
 
-# rational erf numerator/denominator in x^2 (the same clamped P(x^2)*x/Q(x^2)
-# form XLA lowers f32 erf to), Horner order
-_ERF_ALPHA = (
-    -2.72614225801306e-10,
-    2.77068142495902e-08,
-    -2.10102402082508e-06,
-    -5.69250639462346e-05,
-    -7.34990630326855e-04,
-    -2.95459980854025e-03,
-    -1.60960333262415e-02,
-)
-_ERF_BETA = (
-    -1.45660718464996e-05,
-    -2.13374055278905e-04,
-    -1.68282697438203e-03,
-    -7.37332916720468e-03,
-    -1.42647390514189e-02,
+# erf(x)/x as a degree-14 polynomial in u = (x^2 - 8)/8 (power basis from a
+# Chebyshev fit on |x| <= 4, low -> high). Division- and exp-free: a
+# gelu=identity A/B measured the erf at ~20% of the WHOLE decode scan, and
+# both the A&S 7.1.26 form (exp) and XLA's rational form (divide) spend
+# most of that in one transcendental/iterative VPU op. |err| <= 1.5e-6 in
+# f32 evaluation over the full line (clamped outside [-4, 4]) — far below
+# the 2e-4-class tolerances of the decoder goldens and bf16 resolution.
+_ERF_POLY = (
+    0.35353095210768809,
+    -0.17657718172901807,
+    0.13168011460874571,
+    -0.107674105636319,
+    0.090115090505448206,
+    -0.075127186141560581,
+    0.060555538909197237,
+    -0.043850329137480631,
+    0.030744263443859009,
+    -0.027115329981364573,
+    0.018637015822347423,
+    -0.0027444842226283885,
+    0.00059307001388801857,
+    -0.0061007435068127563,
+    0.0033336784152090421,
 )
 
 
 def _erf(x):
     """float32-accurate erf from supported Mosaic ops (no erf primitive in
-    the Pallas TPU lowering). Rational P(x^2)*x / Q(x^2) on the clamped
-    range [-4, 4] — the form XLA's own f32 erf lowering uses; |err| <=
-    3.2e-7, below bf16 resolution and float32 round-off at gelu scales.
-    Replaces an Abramowitz & Stegun 7.1.26 form whose exp() was ~24% of
-    the whole upscale kernel's wall on v5e (gelu=identity A/B)."""
+    the Pallas TPU lowering): pure-polynomial Horner evaluation, no exp or
+    divide (see _ERF_POLY)."""
     x = jnp.clip(x, -4.0, 4.0)
-    x2 = x * x
-    p = jnp.float32(_ERF_ALPHA[0])
-    for c in _ERF_ALPHA[1:]:
-        p = p * x2 + jnp.float32(c)
-    p = p * x
-    q = jnp.float32(_ERF_BETA[0])
-    for c in _ERF_BETA[1:]:
-        q = q * x2 + jnp.float32(c)
-    return p / q
+    u = (x * x - 8.0) * 0.125
+    acc = jnp.float32(_ERF_POLY[-1])
+    for c in _ERF_POLY[-2::-1]:
+        acc = acc * u + jnp.float32(c)
+    return acc * x
 
 
 def _gelu_exact(x):
@@ -85,10 +86,25 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * _INV_SQRT2))
 
 
+def center_w1(w1: jax.Array, b1: jax.Array, c4: int):
+    """Fold the LN group-mean subtraction into deconv1 (exact affine
+    reassociation; stack/prep-time): column c of the returned weights is
+    w1[:, c] minus the mean over c's (i, j) group's c4 columns, so
+    src @ w1c + b1c yields the group-centered activations directly and the
+    kernel skips the two 4-lane-wide (128-padded) indicator matmuls."""
+    f32 = jnp.float32
+    C = w1.shape[0]
+    wg = w1.astype(f32).reshape(C, 4, c4)
+    w1c = (wg - wg.mean(axis=-1, keepdims=True)).reshape(C, 4 * c4)
+    bg = b1.astype(f32).reshape(4, c4)
+    b1c = (bg - bg.mean(axis=-1, keepdims=True)).reshape(4 * c4)
+    return w1c.astype(w1.dtype), b1c
+
+
 def _kernel(
     src_ref,  # [1, BR, C]
-    w1_ref,  # [C, 4*c4]
-    b1_ref,  # [1, 4*c4] f32
+    w1_ref,  # [C, 4*c4] GROUP-MEAN-CENTERED deconv1 (see _center_w1)
+    b1_ref,  # [1, 4*c4] f32 centered bias
     g_ref,  # [4*c4, 4] f32 group indicator
     g2_ref,  # [4, 4*c4] f32 group broadcast
     s_ref,  # [1, 4*c4] f32 LN scale (tiled over i,j)
@@ -100,21 +116,28 @@ def _kernel(
     *,
     c4: int,
 ):
+    # NOTE (measured): splitting the block into independent row strips so
+    # the scheduler could overlap strip s+1's matmuls with strip s's
+    # LN/gelu measured neutral-to-worse (321 -> 323-327 ms on the decode
+    # scan at strips 2/4/8) — Mosaic issues the chain in order either way.
     src = src_ref[0]
     dt = src.dtype
-    z1 = jnp.dot(src, w1_ref[...], preferred_element_type=jnp.float32)
-    z1 = z1 + b1_ref[0]
-    # LayerNorm over each c4-channel group (cols are (i, j, c4)): group
-    # mean/var via indicator matmuls — stays 2D, no in-kernel reshapes
-    G = g_ref[...]
-    G2 = g2_ref[...]
-    mu = jnp.dot(z1, G, preferred_element_type=jnp.float32) / c4
-    d = z1 - jnp.dot(mu, G2, preferred_element_type=jnp.float32)
-    var = jnp.dot(d * d, G, preferred_element_type=jnp.float32) / c4
+    # w1/b1 arrive CENTERED (column c minus its c4-group's mean column), so
+    # the matmul yields the LN-centered activations directly:
+    #   d[r, c] = z1[r, c] - mean_{c' in grp(c)} z1[r, c']
+    # — the group-mean indicator matmul and its broadcast-back both padded
+    # their 4-wide minor dim to 128 MXU lanes, costing as much as half the
+    # z1 matmul each; folding the subtraction into the weights at prep time
+    # removes both (exact affine reassociation).
+    d = jnp.dot(src, w1_ref[...], preferred_element_type=jnp.float32)
+    d = d + b1_ref[0]
+    # variance per c4-channel group via one indicator matmul; rsqrt on the
+    # [BR, 4] group stats BEFORE the broadcast matmul (identical values,
+    # ~c4x fewer rsqrt lanes)
+    var = jnp.dot(d * d, g_ref[...], preferred_element_type=jnp.float32) / c4
+    r = jax.lax.rsqrt(var + LN_EPS)
     z1n = (
-        d
-        * jax.lax.rsqrt(jnp.dot(var, G2, preferred_element_type=jnp.float32) + LN_EPS)
-        * s_ref[0]
+        d * jnp.dot(r, g2_ref[...], preferred_element_type=jnp.float32) * s_ref[0]
         + t_ref[0]
     )
     h1 = _gelu_exact(z1n).astype(dt)
@@ -126,8 +149,9 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def upscale_hyper_blocked(
     src: jax.Array,  # [B, g*g, C] transformer keys
-    w1: jax.Array,  # [C, 4*c4]  deconv1 as (i, j, c4) columns
-    b1: jax.Array,  # [4*c4] f32 (bias tiled over i, j)
+    w1: jax.Array,  # [C, 4*c4]  deconv1 as (i, j, c4) columns, CENTERED
+    #              (center_w1: each column minus its c4-group mean column)
+    b1: jax.Array,  # [4*c4] f32 (bias tiled over i, j, centered likewise)
     ln_scale: jax.Array,  # [4*c4] f32 (tiled)
     ln_bias: jax.Array,  # [4*c4] f32 (tiled)
     w2bd: jax.Array,  # [4*c4, 16*c8]  kron(I4, deconv2)

@@ -301,18 +301,23 @@ def _i2t_shared_q_from_prepared(prep, k_tok, v_tok, num_heads: int, tp: int):
 
 
 def _prep_upscale(u, C: int):
-    """The fused-tail weight views: reshaped deconvs, kron-expanded second
-    deconv, (i, j)-tiled bias/LN vectors (single source of truth for the
-    stacked prep and the raw-param fallback in predict_masks)."""
+    """The fused-tail weight views: reshaped deconvs (deconv1 group-mean-
+    CENTERED so the kernel's matmul emits LN-centered activations directly,
+    kernels/upscale_hyper.py:center_w1), kron-expanded second deconv,
+    (i, j)-tiled bias/LN vectors (single source of truth for the stacked
+    prep and the raw-param fallback in predict_masks)."""
+    from ...kernels.upscale_hyper import center_w1
+
     f32 = jnp.float32
     u1, u2, ln = u["deconv1"], u["deconv2"], u["ln"]
     c4, c8 = u1["w"].shape[-1], u2["w"].shape[-1]
     w1 = jnp.transpose(u1["w"], (2, 0, 1, 3)).reshape(C, 4 * c4)
     w2 = jnp.transpose(u2["w"], (2, 0, 1, 3)).reshape(c4, 4 * c8)
     dt = jnp.asarray(u1["w"]).dtype
+    w1c, b1c = center_w1(w1, jnp.tile(u1["b"].astype(f32), 4), c4)
     return {
-        "w1": w1.astype(dt),
-        "b1": jnp.tile(u1["b"].astype(f32), 4),
+        "w1": w1c.astype(dt),
+        "b1": b1c,
         "ln_s": jnp.tile(ln["scale"].astype(f32), 4),
         "ln_b": jnp.tile(ln["bias"].astype(f32), 4),
         "w2bd": jnp.kron(jnp.eye(4, dtype=w2.dtype), w2).astype(dt),
