@@ -3,7 +3,7 @@
 
 The unit tests exercise every kernel in interpret mode (pure jax on CPU),
 which validates the math but not the Mosaic compilation (lane layouts,
-the in-kernel erf rational, f32 accumulation). This script runs the
+the in-kernel polynomial erf, f32 accumulation). This script runs the
 fused-vs-XLA decoder tail A/B on the live backend at ViT-H shapes.
 
 Expected (bf16 serving): identical IoU predictions, mask-logit max|diff|

@@ -19,18 +19,24 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def capture(out_dir: str, sam_model: str):
+def capture(out_dir: str, sam_model: str, multicrop: bool = False):
+    import dataclasses
+
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from hybridgl_tpu.core.config import AmgConfig, PipelineConfig
+    from hybridgl_tpu.core.config import AMG_PHRASECUT, AmgConfig, PipelineConfig
     from hybridgl_tpu.core.params import cast_pytree, init_sam
     from hybridgl_tpu.models.sam import amg as amg_mod
 
     cfg = PipelineConfig(
         sam_model=sam_model,
-        amg=AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0),
+        amg=dataclasses.replace(
+            AMG_PHRASECUT, pred_iou_thresh=0.0, stability_score_thresh=0.0
+        )
+        if multicrop
+        else AmgConfig(pred_iou_thresh=0.0, stability_score_thresh=0.0),
     )
     sam_cfg = cfg.sam
     from hybridgl_tpu.models.sam.image_encoder import stack_encoder_runs
@@ -50,9 +56,22 @@ def capture(out_dir: str, sam_model: str):
         a[:rh, :rw] = rng.integers(0, 255, (rh, rw, 3), np.uint8)
         imgs.append(jnp.asarray(a))
 
-    @jax.jit
-    def full(p, im):
-        return amg_mod.generate_proposals(p, im, rh, rw, h, w, sam_cfg, cfg.amg, C)
+    if multicrop:
+        # the 5-crop PhraseCut path also needs the canonical frame the
+        # crops are cut from
+        img_c = jnp.asarray(rng.integers(0, 255, (C, C, 3), np.uint8))
+
+        @jax.jit
+        def full(p, im):
+            return amg_mod.generate_proposals_multicrop(
+                p, im, rh, rw, img_c, h, w, sam_cfg, cfg.amg, C
+            )
+
+    else:
+
+        @jax.jit
+        def full(p, im):
+            return amg_mod.generate_proposals(p, im, rh, rw, h, w, sam_cfg, cfg.amg, C)
 
     jax.block_until_ready(full(params, imgs[-1]))
     os.makedirs(out_dir, exist_ok=True)
@@ -160,7 +179,7 @@ def main():
     p.add_argument("--out", default="", help="capture a trace into this dir")
     p.add_argument("--parse", default="", help="parse a captured trace dir")
     p.add_argument("--sam", default="vit_h")
-    p.add_argument("--stage", default="amg", choices=["amg", "feature"])
+    p.add_argument("--stage", default="amg", choices=["amg", "feature", "multicrop"])
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--calls", type=int, default=3, help="timed calls in the trace")
     args = p.parse_args()
@@ -168,7 +187,7 @@ def main():
         if args.stage == "feature":
             capture_feature(args.out)
         else:
-            capture(args.out, args.sam)
+            capture(args.out, args.sam, multicrop=args.stage == "multicrop")
     if args.parse:
         parse(args.parse, args.top, args.calls)
     if not args.out and not args.parse:
