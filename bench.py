@@ -42,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_IMG_PER_S = 1.0  # ESTIMATED reference A100 e2e rate (see docstring)
 
 
-def _device_time_probe(pipe, cfg, samples, n_reps=3):
+def _device_time_probe(pipe, cfg, samples, n_reps=3, state=None):
     """Serialized per-image device time, ms (min over ``n_reps`` passes).
 
     Dispatches every stage of every image back-to-back against the SAME
@@ -53,14 +53,25 @@ def _device_time_probe(pipe, cfg, samples, n_reps=3):
     execution time plus per-dispatch enqueue overhead; min-of-reps
     filters tunnel hiccups. Host cleanup and downloads are deliberately
     excluded - this is the device-compute signal (the e2e medians carry
-    the rest)."""
+    the rest).
+
+    An untimed pre-pass replicates the e2e path's proposal bucketing and
+    reads the settled sticky k-clamp from ``state`` (ADVICE r4: the probe
+    had skipped both, so it could compile fresh max-shape specialisations
+    inside the timed region and measure unbucketed upper-bound work).
+    The timed loop then replays the pre-computed bucket sizes as static
+    slices — async device ops, no host reads."""
     import jax
     import jax.numpy as jnp
 
     from hybridgl_tpu.eval.metrics import IoUAccum
     from hybridgl_tpu.pipeline.guidance import dir_flag_id, rela_flag_id
 
-    k1, k2 = cfg.guidance.k1, cfg.guidance.k2
+    # settled sticky clamp: the e2e reps run with state.k1/k2 after warmup
+    if state is not None and cfg.compat.k_clamp_sticky:
+        k1, k2 = state.k1, state.k2
+    else:
+        k1, k2 = cfg.guidance.k1, cfg.guidance.k2
     prepped = []
     for s in samples:
         rows = []
@@ -92,14 +103,25 @@ def _device_time_probe(pipe, cfg, samples, n_reps=3):
         )
     jax.block_until_ready([p[0] for p in prepped] + [p[3] for p in prepped])
 
+    # untimed pre-pass: per-image bucket sizes exactly as _bucket_props
+    # would compute them (host reads are fine here, the clock isn't running)
+    buckets = []
+    for img1024, rh, rw, imgc, h, w, gt, rows in prepped:
+        props, *_ = pipe._proposal_stage(
+            pipe.sam_params, img1024, rh, rw, imgc, h, w
+        )
+        bucketed = pipe._bucket_props(props, int(props.num))
+        buckets.append(int(bucketed.masks.shape[0]))
+
     times = []
     for _ in range(n_reps):
         pa, fa = IoUAccum.zeros(), IoUAccum.zeros()
         t0 = time.perf_counter()
-        for img1024, rh, rw, imgc, h, w, gt, rows in prepped:
+        for (img1024, rh, rw, imgc, h, w, gt, rows), bucket in zip(prepped, buckets):
             props, _packed, _ph, _aux, _meta = pipe._proposal_stage(
                 pipe.sam_params, img1024, rh, rw, imgc, h, w
             )
+            props = pipe._slice_props(props, bucket)
             feats, gem_pf = pipe._feature_stage(pipe.clip_params, props, imgc, h, w)
             for toks, n_others, dflag, rflag, black, has_other in rows:
                 _sel, _score, _piu, _fiu, pa, fa = pipe._sentence_stage(
@@ -328,7 +350,7 @@ def main():
     device_ms = None
     if os.environ.get("BENCH_DEVICE_PROBE", "1") != "0":
         try:
-            device_ms = _device_time_probe(pipe, cfg, samples)
+            device_ms = _device_time_probe(pipe, cfg, samples, state=state)
         except Exception as e:
             print(f"# device-time probe failed: {e!r}", file=sys.stderr)
 

@@ -175,7 +175,12 @@ def generate_proposals(
         # the column half-transform contracts the BLOCKED decoder output
         # directly (XLA folds the spatial interleave into the dot; the
         # strided-copy relayout it replaces measured ~774 ms/img on the
-        # multicrop trace); the row matmul + thresholds run in the kernel
+        # multicrop trace); the row matmul + thresholds run in the kernel.
+        # TRADEOFF (recorded per ADVICE r4): this materialises the
+        # [B*M, 256, C] f32 half-transform in HBM (~C/640 * 250 MB per
+        # B=128 chunk) — the buffer the old fully-in-kernel design avoided.
+        # The measured 774 ms/img relayout win dominates at C<=1024; if
+        # canonical C ever grows past ~2k, re-measure this choice.
         half = half_transform_blocked(blocked, Wx.T, sam_cfg.embed_grid, M)
         stab, row_any, col_any = pass1_stats_half(
             half,

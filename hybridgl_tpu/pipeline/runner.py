@@ -618,7 +618,14 @@ class HybridGLPipeline:
         valid = np.asarray(props.valid)
         extent = int(valid.nonzero()[0].max()) + 1 if valid.any() else num_props
         bucket = min(next_pow2(extent, base=8), P)
-        if bucket == P:
+        return self._slice_props(props, bucket)
+
+    @staticmethod
+    def _slice_props(props: Proposals, bucket: int) -> Proposals:
+        """Slice the bundle to a known bucket size (async device slices, no
+        host reads) — bench.py's device probe replays pre-computed buckets
+        through this so it hits the same jit specialisations as the e2e path."""
+        if bucket >= int(props.masks.shape[0]):
             return props
         sliced = {
             f: getattr(props, f)[:bucket]

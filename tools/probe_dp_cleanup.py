@@ -79,18 +79,16 @@ def main():
     ncpu = os.cpu_count() or 1
     print(f"# nproc={ncpu} n_images={n_images} P={P} live=48 noisy blobs")
 
-    def timed(label, fn):
+    def timed(label, fn, n_items=n_images):
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
-        print(f"{label:10s}: {dt * 1e3:8.1f} ms total, {dt / n_images * 1e3:7.1f} ms/img")
+        print(f"{label:10s}: {dt * 1e3:8.1f} ms total, {dt / n_items * 1e3:7.1f} ms/img")
         return out, dt
 
     # 1-image wall (threads=1) — the denominator of the verdict's ratio
     os.environ["HYBRIDGL_CLEANUP_THREADS"] = "1"
-    _, t1 = timed("1-image", lambda: run_one(bundles[0], hw))
-    t1 *= n_images  # printed per-img above; keep the single wall
-    t1 /= n_images
+    _, t1 = timed("1-image", lambda: run_one(bundles[0], hw), n_items=1)
 
     ref, t_serial = timed(
         "serial", lambda: [run_one(b, hw) for b in bundles]
