@@ -146,7 +146,125 @@ def _device_time_probe(pipe, cfg, samples, n_reps=3, state=None):
                 )
         jax.block_until_ready((pa, fa))
         times.append(time.perf_counter() - t0)
-    return min(times) / len(prepped) * 1e3
+    total_ms = min(times) / len(prepped) * 1e3
+
+    # ---- per-stage attribution (VERDICT r4 #4): each stage's dispatches
+    # back-to-back across all images, ONE block per stage pass, min-of-reps.
+    # Inputs for stage N+1 come from an untimed stage-N pass, so every timed
+    # region contains exactly one stage's device work.
+    stage_ms = {}
+    prop_outs = []
+    for (img1024, rh, rw, imgc, h, w, gt, rows), bucket in zip(prepped, buckets):
+        props, *_ = pipe._proposal_stage(pipe.sam_params, img1024, rh, rw, imgc, h, w)
+        prop_outs.append(pipe._slice_props(props, bucket))
+    jax.block_until_ready(prop_outs)
+
+    ts = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        outs = [
+            pipe._proposal_stage(pipe.sam_params, img1024, rh, rw, imgc, h, w)[0]
+            for (img1024, rh, rw, imgc, h, w, gt, rows) in prepped
+        ]
+        jax.block_until_ready(outs)
+        ts.append(time.perf_counter() - t0)
+    stage_ms["proposal"] = min(ts) / len(prepped) * 1e3
+
+    feat_outs = []
+    ts = []
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        outs = [
+            pipe._feature_stage(pipe.clip_params, props, p[3], p[4], p[5])
+            for props, p in zip(prop_outs, prepped)
+        ]
+        jax.block_until_ready(outs)
+        ts.append(time.perf_counter() - t0)
+        feat_outs = outs
+    stage_ms["feature"] = min(ts) / len(prepped) * 1e3
+
+    ts = []
+    for _ in range(n_reps):
+        pa, fa = IoUAccum.zeros(), IoUAccum.zeros()
+        t0 = time.perf_counter()
+        for props, (feats, gem_pf), p in zip(prop_outs, feat_outs, prepped):
+            _, _, _, imgc, h, w, gt, rows = p
+            for toks, n_others, dflag, rflag, black, has_other in rows:
+                _sel, _score, _piu, _fiu, pa, fa = pipe._sentence_stage(
+                    pipe.clip_params, props, feats, gem_pf, h, w,
+                    toks, n_others, dflag, rflag, black, has_other,
+                    k1, k2, gt, pa, fa, True,
+                )
+        jax.block_until_ready((pa, fa))
+        ts.append(time.perf_counter() - t0)
+    stage_ms["sentence"] = min(ts) / len(prepped) * 1e3
+
+    return total_ms, stage_ms
+
+
+def _multicrop_record(cfg, sam_params, clip_params, tok, samples, peak):
+    """PhraseCut-config (5-crop AMG) capture: img/s median, serialized
+    device ms/img and est MFU, emitted as a sub-record of the main JSON
+    line so the driver's artifact covers both pipeline configs
+    (reference: Hybridgl_main_PhraseCut.py:56-62 is half the reference's
+    driver surface; VERDICT r4 #3)."""
+    import dataclasses
+
+    import jax
+
+    from hybridgl_tpu.core.config import AMG_PHRASECUT
+    from hybridgl_tpu.lang import HeuristicParser
+    from hybridgl_tpu.pipeline.runner import HybridGLPipeline
+    from hybridgl_tpu.utils.flops import pipeline_flops_per_image
+
+    amg = dataclasses.replace(
+        AMG_PHRASECUT, pred_iou_thresh=0.0, stability_score_thresh=0.0
+    )
+    if os.environ.get("BENCH_PPB"):
+        amg = dataclasses.replace(amg, points_per_batch=int(os.environ["BENCH_PPB"]))
+    mcfg = cfg.replace(amg=amg)
+    pipe = HybridGLPipeline(
+        mcfg, sam_params, clip_params, parser=HeuristicParser(), tokenizer=tok
+    )
+    state = pipe.init_state()
+    n_reps = int(os.environ.get("BENCH_MC_REPS", "3"))
+    for s in samples:  # warmup / compile
+        pipe.run_image(s, state)
+    rates = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        for _ in pipe.run_dataset(iter(samples), state):
+            pass
+        rates.append(len(samples) / (time.time() - t0))
+    rec = {
+        "img_per_s": round(float(np.median(rates)), 4),
+        "rates": [round(r, 3) for r in rates],
+    }
+    n_sent = len(samples[0].sentences)
+    fl = pipeline_flops_per_image(mcfg, mcfg.amg.max_proposals, n_sent)
+    rec["flops_per_img_t"] = round(fl["total"] / 1e12, 3)
+    if peak:
+        rec["est_mfu_e2e"] = round(rec["img_per_s"] * fl["total"] / peak, 4)
+    try:
+        dms, sms = _device_time_probe(pipe, mcfg, samples, n_reps=2, state=state)
+        rec["device_ms_per_img"] = round(dms, 1)
+        rec["stage_device_ms"] = {k: round(v, 1) for k, v in sms.items()}
+        if peak:
+            rec["est_mfu_device"] = round(fl["total"] / (dms / 1e3) / peak, 4)
+        stage_tf = {
+            "proposal": (fl["sam_encoder"] + fl["sam_decode"]) / 1e12,
+            "feature": (fl["clip_fusion"] + fl["gem"]) / 1e12,
+            "sentence": fl["text"] / 1e12,
+        }
+        rows = []
+        for name, ms in sms.items():
+            tf = stage_tf.get(name, 0.0)
+            mfu = tf * 1e12 / (ms / 1e3) / peak if (peak and ms) else 0.0
+            rows.append(f"{name} {ms:.1f}ms {tf:.2f}TF mfu={mfu:.1%}")
+        print("# stage-device[multicrop]: " + " | ".join(rows), file=sys.stderr)
+    except Exception as e:
+        print(f"# multicrop device probe failed: {e!r}", file=sys.stderr)
+    return rec
 
 
 def main():
@@ -315,27 +433,43 @@ def main():
             # the main timed reps MUST run unbucketed even if warmup threw
             os.environ["HYBRIDGL_NO_BUCKETING"] = "1"
 
-    # INTERLEAVED reps: the tunnel's health drifts within a run, so
-    # alternating full/realistic passes keeps the two medians comparable
+    # Full reps run CONSECUTIVELY, realistic reps after (VERDICT r4 #7):
+    # round-4's interleaved schedule put a bucket-respecialised pipeline
+    # between every pair of full reps, perturbing the dispatch stream right
+    # where the captured min/median floor is judged. BENCH_INTERLEAVE=1
+    # restores the alternating schedule (for tunnel-drift A/Bs where the
+    # two medians must share a window).
+    interleave = os.environ.get("BENCH_INTERLEAVE") == "1"
     rates = []
     r_rates = []
+
+    def realistic_rep():
+        nonlocal realistic_pipe
+        try:
+            os.environ.pop("HYBRIDGL_NO_BUCKETING", None)
+            t0 = time.time()
+            for _ in realistic_pipe.run_dataset(iter(samples), r_state):
+                pass
+            r_rates.append(n_iter / (time.time() - t0))
+        except Exception as e:
+            print(f"# realistic-survival rep failed: {e!r}", file=sys.stderr)
+            realistic_pipe = None
+        finally:
+            os.environ["HYBRIDGL_NO_BUCKETING"] = "1"
+
+    n_r_reps = max(n_reps - 2, 3)
     for rep in range(n_reps):
         t0 = time.time()
         for _ in pipe.run_dataset(iter(samples), state):
             pass
         rates.append(n_iter / (time.time() - t0))
-        if realistic_pipe is not None and rep < max(n_reps - 2, 3):
-            try:
-                os.environ.pop("HYBRIDGL_NO_BUCKETING", None)
-                t0 = time.time()
-                for _ in realistic_pipe.run_dataset(iter(samples), r_state):
-                    pass
-                r_rates.append(n_iter / (time.time() - t0))
-            except Exception as e:
-                print(f"# realistic-survival rep failed: {e!r}", file=sys.stderr)
-                realistic_pipe = None
-            finally:
-                os.environ["HYBRIDGL_NO_BUCKETING"] = "1"
+        if interleave and realistic_pipe is not None and rep < n_r_reps:
+            realistic_rep()
+    if not interleave:
+        for rep in range(n_r_reps):
+            if realistic_pipe is None:
+                break
+            realistic_rep()
     img_per_s = float(np.median(rates))
     realistic = float(np.median(r_rates)) if r_rates else None
 
@@ -348,18 +482,34 @@ def main():
     # — tunnel congestion can only add dispatch overhead (~4 ms/dispatch,
     # filtered by the min), never inflate device execution.
     device_ms = None
+    stage_ms = None
     if os.environ.get("BENCH_DEVICE_PROBE", "1") != "0":
         try:
-            device_ms = _device_time_probe(pipe, cfg, samples, state=state)
+            device_ms, stage_ms = _device_time_probe(pipe, cfg, samples, state=state)
         except Exception as e:
             print(f"# device-time probe failed: {e!r}", file=sys.stderr)
 
-    # ---- MFU grounding (analytic FLOPs model; docs/DESIGN.md audit)
+    # ---- MFU grounding (analytic FLOPs model; audited by tools/flops_audit.py)
     from hybridgl_tpu.utils.flops import peak_flops, pipeline_flops_per_image
 
     P = cfg.amg.max_proposals
     fl = pipeline_flops_per_image(cfg, P, int(sentences_per_image))
     peak = peak_flops(jax.devices()[0].device_kind)
+
+    # per-stage TF mapping for the attribution table (VERDICT r4 #4)
+    stage_tf = {
+        "proposal": (fl["sam_encoder"] + fl["sam_decode"]) / 1e12,
+        "feature": (fl["clip_fusion"] + fl["gem"]) / 1e12,
+        "sentence": fl["text"] / 1e12,
+    }
+
+    def stage_table(sms, label=""):
+        rows = []
+        for name, ms in sms.items():
+            tf = stage_tf.get(name, 0.0)
+            mfu = tf * 1e12 / (ms / 1e3) / peak if (peak and ms) else 0.0
+            rows.append(f"{name} {ms:.1f}ms {tf:.2f}TF mfu={mfu:.1%}")
+        print(f"# stage-device{label}: " + " | ".join(rows), file=sys.stderr)
 
     record = {
         "metric": "e2e_images_per_sec_per_chip",
@@ -378,7 +528,27 @@ def main():
             record["est_mfu_device"] = round(
                 fl["total"] / (device_ms / 1e3) / peak, 4
             )
+    if stage_ms is not None:
+        record["stage_device_ms"] = {k: round(v, 1) for k, v in stage_ms.items()}
+
+    # ---- multicrop (PhraseCut-config) sub-record (VERDICT r4 #3): the
+    # second driver surface, captured in the same artifact. Runs AFTER the
+    # single-crop metrics so a failure here can never cost the main number;
+    # disable with BENCH_MULTICROP_SUB=0 (and it is skipped when the main
+    # run IS the multicrop config).
+    if (
+        not os.environ.get("BENCH_MULTICROP")
+        and os.environ.get("BENCH_MULTICROP_SUB", "1") != "0"
+    ):
+        try:
+            record["multicrop"] = _multicrop_record(
+                cfg, sam_params, clip_params_c, bench_tok, samples, peak
+            )
+        except Exception as e:
+            print(f"# multicrop sub-bench failed: {e!r}", file=sys.stderr)
     print(json.dumps(record))
+    if stage_ms is not None:
+        stage_table(stage_ms)
     print(
         f"# sam={sam_model} iters={n_iter} reps={n_reps} "
         f"rates={[round(r, 3) for r in rates]} "
