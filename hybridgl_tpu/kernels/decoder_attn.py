@@ -62,12 +62,11 @@ def _body(
         perm = p_ref[:, r * gt : (r + 1) * gt]
         m = jnp.maximum(m, jnp.dot(m, perm, preferred_element_type=jnp.float32))
     e = jnp.exp(s - m)
-    denom = jnp.dot(
-        jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32),
-        g2_ref[...],
-        preferred_element_type=jnp.float32,
-    )
-    attn = (e / jnp.maximum(denom, 1e-30)).astype(dt)
+    # narrow reciprocal on the [rows, heads] group sums, then broadcast-
+    # multiply (see decoder_pass._grouped_softmax_rows)
+    d = jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32)
+    r = 1.0 / jnp.maximum(d, 1e-30)
+    attn = (e * jnp.dot(r, g2_ref[...], preferred_element_type=jnp.float32)).astype(dt)
     out = jnp.dot(attn, vo_ref[0], preferred_element_type=jnp.float32)
     x = base_ref[0].astype(jnp.float32) + out + const_ref[0]
     mu = x.mean(axis=-1, keepdims=True)

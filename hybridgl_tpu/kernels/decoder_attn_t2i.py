@@ -75,7 +75,7 @@ def _kernel(
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = acc_scr[:] * (1.0 / jnp.maximum(l_scr[:], 1e-30))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -50,12 +50,12 @@ def _grouped_softmax_rows(s, p_ref, g_ref, g2_ref, n_rot: int, gt: int):
         perm = p_ref[:, r * gt : (r + 1) * gt]
         m = jnp.maximum(m, jnp.dot(m, perm, preferred_element_type=jnp.float32))
     e = jnp.exp(s - m)
-    denom = jnp.dot(
-        jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32),
-        g2_ref[...],
-        preferred_element_type=jnp.float32,
-    )
-    return e / jnp.maximum(denom, 1e-30)
+    # reciprocal on the [rows, heads] group sums BEFORE the broadcast
+    # matmul: the GT-wide divide (an iterative VPU op on every lane)
+    # becomes one narrow reciprocal + a full-width multiply
+    d = jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32)
+    r = 1.0 / jnp.maximum(d, 1e-30)
+    return e * jnp.dot(r, g2_ref[...], preferred_element_type=jnp.float32)
 
 
 def _ln_rows(x, scale, bias):
@@ -127,7 +127,7 @@ def _body(
 
     @pl.when(ki == nk - 1)
     def _():
-        ctx_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        ctx_ref[0] = acc_scr[:] * (1.0 / jnp.maximum(l_scr[:], 1e-30))
 
 
 def _kernel_shared(qside_ref, base_ref, pe_ref, *rest, n_rot, gt, nk, dt):

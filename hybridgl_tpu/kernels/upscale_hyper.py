@@ -43,29 +43,31 @@ LN_EPS = 1e-6  # mask_decoder's LayerNorm2d (common.py) uses eps=1e-6
 _INV_SQRT2 = 2.0**-0.5
 
 
-# erf(x)/x as a degree-14 polynomial in u = (x^2 - 8)/8 (power basis from a
-# Chebyshev fit on |x| <= 4, low -> high). Division- and exp-free: a
-# gelu=identity A/B measured the erf at ~20% of the WHOLE decode scan, and
+# erf(x)/x as a degree-10 polynomial in u = (x^2 - 5.12)/5.12 (power basis
+# from a Chebyshev fit on |x| <= 3.2, low -> high). Division- and exp-free:
+# a gelu=identity A/B measured the erf at ~20% of the WHOLE decode scan, and
 # both the A&S 7.1.26 form (exp) and XLA's rational form (divide) spend
-# most of that in one transcendental/iterative VPU op. |err| <= 1.5e-6 in
-# f32 evaluation over the full line (clamped outside [-4, 4]) — far below
-# the 2e-4-class tolerances of the decoder goldens and bf16 resolution.
+# most of that in one transcendental/iterative VPU op. Each dropped degree
+# is one VPU FMA per element over the kernel's ~200M gelu elements/chunk;
+# the clamp radius 3.2 (erf(3.2) = 1 - 6e-6) trades its saturation error
+# against fit degree. |err| <= 1.4e-5 in f32 evaluation over the full line
+# — ~14x below the 2e-4-class tolerances of the decoder goldens and well
+# below bf16 resolution (the previous degree-14 fit at 1.5e-6 measured the
+# same goldens; the extra 4 FMAs bought nothing observable).
+_ERF_CLAMP = 3.2
+_ERF_HALF = _ERF_CLAMP * _ERF_CLAMP / 2.0  # u = (x^2 - 2h)/... see _erf
 _ERF_POLY = (
-    0.35353095210768809,
-    -0.17657718172901807,
-    0.13168011460874571,
-    -0.107674105636319,
-    0.090115090505448206,
-    -0.075127186141560581,
-    0.060555538909197237,
-    -0.043850329137480631,
-    0.030744263443859009,
-    -0.027115329981364573,
-    0.018637015822347423,
-    -0.0027444842226283885,
-    0.00059307001388801857,
-    -0.0061007435068127563,
-    0.0033336784152090421,
+    0.44133382451665404,
+    -0.2173052971332483,
+    0.15437519694859358,
+    -0.11368417777976207,
+    0.08044820366229209,
+    -0.05456761164045946,
+    0.033728220429645545,
+    -0.015443147311422394,
+    0.007285535289394676,
+    -0.00693757249584703,
+    0.0032693081065996105,
 )
 
 
@@ -73,8 +75,8 @@ def _erf(x):
     """float32-accurate erf from supported Mosaic ops (no erf primitive in
     the Pallas TPU lowering): pure-polynomial Horner evaluation, no exp or
     divide (see _ERF_POLY)."""
-    x = jnp.clip(x, -4.0, 4.0)
-    u = (x * x - 8.0) * 0.125
+    x = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
+    u = (x * x - _ERF_HALF) * jnp.float32(1.0 / _ERF_HALF)
     acc = jnp.float32(_ERF_POLY[-1])
     for c in _ERF_POLY[-2::-1]:
         acc = acc * u + jnp.float32(c)

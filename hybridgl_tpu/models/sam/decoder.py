@@ -176,7 +176,11 @@ def _prep_t2i(p, num_heads: int):
         # [C, h*C]: qw[b,t,(h,:)] = q_tok[b,t] @ score_w + score_b
         "score_w": jnp.transpose(A, (1, 0, 2)).reshape(C, -1).astype(dt),
         "score_b": a.reshape(-1),
-        "wvo": wvo.astype(dt),  # [h, C, C]
+        # [h*C, C]: the readout as ONE contiguous matmul operand. The
+        # [h, C, C] einsum form made XLA stage it into the decode loop as 8
+        # per-head slice DMAs per use (~400 ms/call of sliced slice-starts
+        # on the decode-scan trace); the flat dot fetches it whole.
+        "wvo_flat": wvo.reshape(-1, wvo.shape[-1]).astype(dt),
         "const": const,  # [C] f32
     }
 
@@ -506,19 +510,24 @@ def _t2i_qw(p, q_tok, num_heads: int, prep=None):
     qw = jnp.pad(qw, ((0, 0), (0, 0), (0, tp - T), (0, 0)))
     C = qw.shape[-1]
     QW = qw.transpose(0, 3, 1, 2).reshape(B, C, num_heads * tp)
-    return QW, prep["wvo"], prep["const"], T, tp
+    return QW, prep["wvo_flat"], prep["const"], T, tp
 
 
-def _t2i_epilogue(ctx, wvo, const, T: int, tp: int, num_heads: int, dt):
+def _t2i_epilogue(ctx, wvo_flat, const, T: int, tp: int, num_heads: int, dt):
     """ctx [B, h*tp, C] f32 -> attention output [B, T, C] (the token-side
-    readout shared by _t2i_fused and the fused layer pass)."""
+    readout shared by _t2i_fused and the fused layer pass).
+
+    ``wvo_flat`` is the [h*C, C] readout (see _prep_t2i): the contraction
+    over (h, c) is ONE plain dot, which XLA stages as a single contiguous
+    weight fetch instead of 8 per-head slices inside the decode loop."""
     B, _, C = ctx.shape
     ctx = (
         ctx.reshape(B, num_heads, tp, C)[:, :, :T]
         .transpose(0, 2, 1, 3)
         .astype(dt)
-    )  # [B, T, h, C]
-    out = jnp.einsum("bthc,hce->bte", ctx, wvo.astype(dt))
+        .reshape(B, T, num_heads * C)
+    )
+    out = jnp.dot(ctx, wvo_flat.astype(dt))
     return out + const.astype(dt)
 
 
