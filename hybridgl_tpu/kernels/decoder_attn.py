@@ -69,8 +69,10 @@ def _body(
     attn = (e * jnp.dot(r, g2_ref[...], preferred_element_type=jnp.float32)).astype(dt)
     out = jnp.dot(attn, vo_ref[0], preferred_element_type=jnp.float32)
     x = base_ref[0].astype(jnp.float32) + out + const_ref[0]
+    # sufficient-statistics LN (see decoder_pass._ln_rows)
     mu = x.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    ms = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(ms - mu * mu, 0.0)
     o_ref[0] = (
         (x - mu) * jax.lax.rsqrt(var + LN_EPS) * s_ref[0] + t_ref[0]
     ).astype(dt)

@@ -44,6 +44,9 @@ def _stats_kernel(
     counts_ref,  # [1, 1, 128] f32 (col 0 = hi, col 1 = lo)
     rowany_ref,  # [1, 1, C] f32
     colany_ref,  # [1, 1, C] f32
+    hi_scr,  # VMEM [1, C] f32
+    lo_scr,  # VMEM [1, C] f32
+    col_scr,  # VMEM [1, C] f32
     *,
     n: int,
     C: int,
@@ -74,31 +77,49 @@ def _stats_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(jnp.float32)
     col_ok = (col >= x0) & (col < x0 + dw)  # [1, C]
 
-    hi_acc = jnp.zeros((1, C), jnp.float32)
-    lo_acc = jnp.zeros((1, C), jnp.float32)
-    col_acc = jnp.zeros((1, C), jnp.float32)
+    hi_scr[:] = jnp.zeros((1, C), jnp.float32)
+    lo_scr[:] = jnp.zeros((1, C), jnp.float32)
+    col_scr[:] = jnp.zeros((1, C), jnp.float32)
 
     for t in range(C // tile):
-        rows = wy_ref[t * tile : (t + 1) * tile, :]  # [tile, n]
-        lt = jnp.dot(rows, tmp, preferred_element_type=jnp.float32)  # [tile, C]
-        r = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0).astype(
-            jnp.float32
-        ) + float(t * tile)
-        valid = ((r >= y0) & (r < y0 + dh)) & col_ok  # [tile, C]
-        m_hi = jnp.where((lt > thresh + offset) & valid, 1.0, 0.0)
-        m_lo = jnp.where((lt > thresh - offset) & valid, 1.0, 0.0)
-        m_t = jnp.where((lt > thresh) & valid, 1.0, 0.0)
-        hi_acc = hi_acc + m_hi.sum(axis=0, keepdims=True)
-        lo_acc = lo_acc + m_lo.sum(axis=0, keepdims=True)
-        col_acc = jnp.maximum(col_acc, m_t.max(axis=0, keepdims=True))
-        rowany_ref[0, :, t * tile : (t + 1) * tile] = m_t.max(
-            axis=1, keepdims=True
-        ).reshape(1, tile)
+        # row-tiles fully outside the dynamic placement window contribute
+        # exactly nothing (their `valid` mask is all-false): skip the
+        # [tile, n] x [n, C] matmul and the threshold passes entirely.
+        # At RefCOCO/PhraseCut image sizes (h <= ~640 of the 1024-row
+        # canonical frame) this halves the row-resize FLOPs — the stats
+        # chain's dominant cost.
+        live = (jnp.float32(t * tile) < y0 + dh) & (
+            jnp.float32((t + 1) * tile) > y0
+        )
 
-    colany_ref[0] = col_acc
+        @pl.when(live)
+        def _(t=t):
+            rows = wy_ref[t * tile : (t + 1) * tile, :]  # [tile, n]
+            lt = jnp.dot(rows, tmp, preferred_element_type=jnp.float32)
+            r = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0).astype(
+                jnp.float32
+            ) + float(t * tile)
+            valid = ((r >= y0) & (r < y0 + dh)) & col_ok  # [tile, C]
+            m_hi = jnp.where((lt > thresh + offset) & valid, 1.0, 0.0)
+            m_lo = jnp.where((lt > thresh - offset) & valid, 1.0, 0.0)
+            m_t = jnp.where((lt > thresh) & valid, 1.0, 0.0)
+            hi_scr[:] = hi_scr[:] + m_hi.sum(axis=0, keepdims=True)
+            lo_scr[:] = lo_scr[:] + m_lo.sum(axis=0, keepdims=True)
+            col_scr[:] = jnp.maximum(col_scr[:], m_t.max(axis=0, keepdims=True))
+            rowany_ref[0, :, t * tile : (t + 1) * tile] = m_t.max(
+                axis=1, keepdims=True
+            ).reshape(1, tile)
+
+        @pl.when(jnp.logical_not(live))
+        def _(t=t):
+            rowany_ref[0, :, t * tile : (t + 1) * tile] = jnp.zeros(
+                (1, tile), jnp.float32
+            )
+
+    colany_ref[0] = col_scr[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     counts_ref[0] = jnp.where(
-        lane == 0, hi_acc.sum(), jnp.where(lane == 1, lo_acc.sum(), 0.0)
+        lane == 0, hi_scr[:].sum(), jnp.where(lane == 1, lo_scr[:].sum(), 0.0)
     )
 
 
@@ -165,6 +186,11 @@ def _stats_call(low, WxT, Wy, window, thresh, offset, tile, interpret, *, pre_ha
             jax.ShapeDtypeStruct((B, 1, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
         ],
         interpret=interpret,
     )(win, low, WxT, Wy)

@@ -108,8 +108,9 @@ def _kernel(
     w1_ref,  # [C, 4*c4] GROUP-MEAN-CENTERED deconv1 (see _center_w1)
     b1_ref,  # [1, 4*c4] f32 centered bias
     g_ref,  # [4*c4, 4] f32 group indicator
-    g2_ref,  # [4, 4*c4] f32 group broadcast
-    s_ref,  # [1, 4*c4] f32 LN scale (tiled over i,j)
+    g2_ref,  # [4, 4*c4] f32 group broadcast, LN-SCALE-FOLDED (row j carries
+    #          ln_scale in group j's columns) — the broadcast matmul emits
+    #          r[g(c)] * s[c] directly, one fewer [BR, 4*c4] VPU multiply
     t_ref,  # [1, 4*c4] f32 LN bias
     w2_ref,  # [4*c4, 16*c8]
     b2_ref,  # [1, 16*c8] f32
@@ -139,7 +140,7 @@ def _kernel(
     var = jnp.dot(d * d, g_ref[...], preferred_element_type=jnp.float32) / c4
     r = jax.lax.rsqrt(var + LN_EPS)
     z1n = (
-        d * jnp.dot(r, g2_ref[...], preferred_element_type=jnp.float32) * s_ref[0]
+        d * jnp.dot(r, g2_ref[...], preferred_element_type=jnp.float32)
         + t_ref[0]
     )
     h1 = _gelu_exact(z1n).astype(dt)
@@ -194,7 +195,6 @@ def upscale_hyper_blocked(
             pl.BlockSpec((1,) + b1.shape, lambda b, r: (0, 0)),
             pl.BlockSpec((w1.shape[1], 4), _const),
             pl.BlockSpec((4, w1.shape[1]), _const),
-            pl.BlockSpec((1,) + ln_scale.shape, lambda b, r: (0, 0)),
             pl.BlockSpec((1,) + ln_bias.shape, lambda b, r: (0, 0)),
             pl.BlockSpec(w2bd.shape, _const),
             pl.BlockSpec((1,) + b2.shape, lambda b, r: (0, 0)),
@@ -208,8 +208,7 @@ def upscale_hyper_blocked(
         w1,
         b1[None].astype(f32),
         _group_indicator(c4, w1.dtype),
-        _group_broadcast(c4, w1.dtype),
-        ln_scale[None].astype(f32),
+        _group_broadcast(c4, w1.dtype) * ln_scale[None].astype(f32),
         ln_bias[None].astype(f32),
         w2bd,
         b2[None].astype(f32),

@@ -530,19 +530,21 @@ def generate_proposals_multicrop(
     )
     dense = no_mask_dense(p_sam["prompt"], sam_cfg, P)
 
-    def decode_one(emb_i, sparse_i, dense_i):
-        m, _ = predict_masks(
-            p_sam["decoder"],
-            emb_i,
-            pe,
-            sparse_i[None],
-            sam_cfg,
-            dense_prompts=dense_i[None],
-            multimask_output=True,
-        )
-        return m[0]  # [3, 256, 256]
-
-    low_res = jax.vmap(decode_one)(emb_stack[kept_crop], sparse, dense)
+    # one batched decode over all P survivors: predict_masks' batched path
+    # adds image_embedding[None] + dense_prompts, so the per-candidate crop
+    # embedding rides the dense-prompt slot (exact — the add is linear) and
+    # the whole re-decode is a single B=P call on the fused kernels instead
+    # of a vmap of P one-prompt decodes.
+    dense_full = emb_stack[kept_crop] + dense  # [P, g, g, C]
+    low_res, _ = predict_masks(
+        p_sam["decoder"],
+        jnp.zeros_like(emb_stack[0]),
+        pe,
+        sparse,
+        sam_cfg,
+        dense_prompts=dense_full,
+        multimask_output=True,
+    )  # [P, 3, 256, 256]
     sel = jnp.take_along_axis(low_res, kept_channel.reshape(P, 1, 1, 1), axis=1)[:, 0]
 
     oy = jnp.stack([jnp.asarray(c["origin"][0], jnp.float32) for c in crops])

@@ -152,6 +152,39 @@ def main():
         return tot
 
     @jax.jit
+    def enc5_pass1(p, img1024, imgc):
+        # encoder + the full per-crop pass-1 (_score_crop_candidates: decode
+        # + half-transform + stats kernel + boxes), no NMS/pass-2/placement
+        frames, rhws, grids = frames_and_grids(img1024, imgc)
+
+        def body(_, f):
+            return None, encode_image(p["encoder"], f[None], sam_cfg)[0]
+
+        _, embs = jax.lax.scan(body, None, jnp.stack(frames))
+        origins = [(jnp.float32(0), jnp.float32(0))] + [
+            (cy0, cx0)
+            for (cy0, cx0, _, _) in amg_mod._crop_boxes_layer1(
+                h, w, amg_cfg.crop_overlap_ratio
+            )
+        ]
+        extents = [
+            (jnp.asarray(h, jnp.float32), jnp.asarray(w, jnp.float32))
+        ] + [
+            (ch_, cw_)
+            for (_, _, ch_, cw_) in amg_mod._crop_boxes_layer1(
+                h, w, amg_cfg.crop_overlap_ratio
+            )
+        ]
+        tot = jnp.float32(0.0)
+        for ci, grid in enumerate(grids):
+            iou_c, stab_c, boxes_c, valid_c, _n = amg_mod._score_crop_candidates(
+                p, embs[ci], grid, origins[ci], extents[ci], rhws[ci],
+                (h, w), sam_cfg, amg_cfg, C,
+            )
+            tot = tot + iou_c.sum() + stab_c.sum() + boxes_c.sum() + valid_c.sum()
+        return tot
+
+    @jax.jit
     def full(p, img1024, imgc):
         props = amg_mod.generate_proposals_multicrop(
             p, img1024, rh, rw, imgc, h, w, sam_cfg, amg_cfg, C
@@ -164,6 +197,7 @@ def main():
     for name, fn, args in (
         ("encode x5", enc5, ()),
         ("+ grid decode", enc5_decode, ()),
+        ("+ pass1 stats", enc5_pass1, ()),
         ("full multicrop", full, ()),
     ):
         t0 = time.time()
@@ -175,11 +209,11 @@ def main():
         print(f"{name:16s} {med:8.1f} ms  (compile {c:.0f}s)")
         results = locals().setdefault("_acc", [])
         results.append((name, med))
-    enc, dec, ful = [r[1] for r in results]
+    enc, dec, p1, ful = [r[1] for r in results]
     print(
         f"-> encode {enc:.0f} | decode {dec - enc:.0f} "
         f"({(dec - enc) / n_pts * 1000:.0f} us/pt over {n_pts} pts) | "
-        f"stats/nms/pass2/place {ful - dec:.0f}"
+        f"half+stats {p1 - dec:.0f} | nms/pass2/place {ful - p1:.0f}"
     )
 
 
