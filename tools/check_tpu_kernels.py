@@ -1,18 +1,33 @@
 #!/usr/bin/env python
-"""Numeric check of the Pallas kernels' REAL Mosaic lowerings on the chip.
+"""Numeric check of every Pallas kernel's REAL Mosaic lowering on the chip.
 
-The unit tests exercise every kernel in interpret mode (pure jax on CPU),
+The unit tests exercise the kernels in interpret mode (pure jax on CPU),
 which validates the math but not the Mosaic compilation (lane layouts,
-the in-kernel polynomial erf, f32 accumulation). This script runs the
-fused-vs-XLA decoder tail A/B on the live backend at ViT-H shapes.
+in-kernel polynomial erf, predicated row-tile skips, f32 accumulation).
+This script A/Bs each kernel against its XLA fallback ON THE LIVE BACKEND
+at production geometry and prints one PASS/FAIL line per kernel:
 
-Expected (bf16 serving): identical IoU predictions, mask-logit max|diff|
-at the bf16 rounding level (~0.02 on a ~0.33-scale logit distribution),
-and >99.8% thresholded-pixel agreement — residual disagreements sit on
-threshold-crossing pixels where ANY reordering of bf16 ops flips the bit
-(the XLA path differs from an f32 run by the same order).
+  upscale         kernels/upscale_hyper.py    vs XLA blocked einsums
+  fused_pass      kernels/decoder_pass.py     vs separate i2t/t2i kernels
+  i2t             kernels/decoder_attn.py     vs XLA side-switched attn
+  t2i             kernels/decoder_attn_t2i.py vs XLA side-switched attn
+  flash_global    kernels/flash_attention.py (fused aug) vs XLA attention
+  flash_windowed  kernels/flash_attention.py (windowed)  vs XLA attention
+  clip            kernels/clip_attention.py   vs XLA attention
+  pass1_stats     kernels/pass1_stats.py      vs materialised logits chain
 
-Usage: python tools/check_tpu_kernels.py
+(nms/blur/resize/connected are XLA/host paths with no Mosaic lowering —
+covered by the CPU suite.)
+
+Decoder/encoder checks run encode+predict_points at ViT-H shapes in a
+fresh subprocess per variant (the env flags are read at trace time and
+jit caches are keyed per process). Expected at bf16 serving: identical
+IoU predictions, mask-logit max|diff| at the bf16 rounding level (~0.02
+on a ~0.33-scale logit distribution), >99.5% thresholded-pixel agreement,
+and encoder-embedding cosine > 0.999 — residual disagreements sit on
+threshold-crossing pixels where ANY reordering of bf16 ops flips the bit.
+
+Usage: python tools/check_tpu_kernels.py [name ...]   (default: all)
 """
 
 import os
@@ -21,51 +36,233 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def _run_variant(fused: str) -> str:
-    """Each variant needs a fresh process: the env flag is read at trace
-    time and jit caches are keyed per process."""
-    code = f"""
+_DECODE_CODE = """
 import os, sys
-os.environ["HYBRIDGL_FUSED_UPSCALE"] = "{fused}"
-sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+{env_lines}
+sys.path.insert(0, {root!r})
 import numpy as np
 import jax, jax.numpy as jnp
 from hybridgl_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 from hybridgl_tpu.core.config import PipelineConfig
 from hybridgl_tpu.core.params import cast_pytree, init_sam
+from hybridgl_tpu.models.sam.image_encoder import stack_encoder_runs
 from hybridgl_tpu.models.sam.sam import encode, predict_points, preprocess_padded
 cfg = PipelineConfig(sam_model="vit_h")
 sam_cfg = cfg.sam
-params = jax.jit(lambda k: cast_pytree(init_sam(k, sam_cfg), jnp.bfloat16))(jax.random.PRNGKey(0))
+params = jax.jit(lambda k: stack_encoder_runs(
+    cast_pytree(init_sam(k, sam_cfg), jnp.bfloat16), sam_cfg
+))(jax.random.PRNGKey(0))
 rng = np.random.default_rng(0)
 S = sam_cfg.img_size; rh, rw = 768, 1024
-img = np.zeros((S, S, 3), np.uint8); img[:rh, :rw] = rng.integers(0, 255, (rh, rw, 3), np.uint8)
-emb = jax.jit(lambda p, im: encode(p, preprocess_padded(im, (rh, rw), sam_cfg), sam_cfg))(params, jnp.asarray(img))
+img = np.zeros((S, S, 3), np.uint8)
+img[:rh, :rw] = rng.integers(0, 255, (rh, rw, 3), np.uint8)
+emb = jax.jit(lambda p, im: encode(p, preprocess_padded(im, (rh, rw), sam_cfg), sam_cfg))(
+    params, jnp.asarray(img))
 pts = jnp.asarray(rng.random((32, 2)).astype(np.float32) * 800)
 low, iou = jax.jit(lambda p, e, pt: predict_points(
-    p, e, pt[:, None, :], jnp.ones((32, 1), jnp.float32), sam_cfg, multimask_output=True
+    p, e, pt[:, None, :], jnp.ones((32, 1), jnp.float32), sam_cfg,
+    multimask_output=True,
 ))(params, emb, pts)
-np.savez("/tmp/_kcheck_{fused}.npz", low=np.asarray(low), iou=np.asarray(iou))
+np.savez({out!r}, emb=np.asarray(emb, np.float32),
+         low=np.asarray(low), iou=np.asarray(iou))
 """
-    subprocess.run([sys.executable, "-c", code], check=True)
-    return f"/tmp/_kcheck_{fused}.npz"
+
+_CLIP_CODE = """
+import os, sys
+{env_lines}
+sys.path.insert(0, {root!r})
+import numpy as np
+import jax, jax.numpy as jnp
+from hybridgl_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+from hybridgl_tpu.core.config import PipelineConfig
+from hybridgl_tpu.core.params import cast_pytree, init_clip
+from hybridgl_tpu.models.clip.fusion import hybrid_forward
+cfg = PipelineConfig()  # ViT-B/16 CLIP
+ccfg = cfg.clip
+params = jax.jit(lambda k: cast_pytree(init_clip(k, ccfg), jnp.bfloat16))(
+    jax.random.PRNGKey(0))
+rng = np.random.default_rng(0)
+N, S = 16, ccfg.image_size
+loc = jnp.asarray(rng.standard_normal((N, S, S, 3)).astype(np.float32))
+glo = jnp.asarray(rng.standard_normal((N, S, S, 3)).astype(np.float32))
+masks = jnp.asarray((rng.random((N, 64, 64)) > 0.7).astype(np.float32))
+feats = jax.jit(lambda p, a, b, m: hybrid_forward(
+    p["visual"], a, b, m, ccfg, fusion_mode={mode!r},
+    masking_block=cfg.guidance.masking_block,
+))(params, loc, glo, masks)
+np.savez({out!r}, feats=np.asarray(
+    jax.tree_util.tree_leaves(feats)[0], np.float32))
+"""
+
+
+def _run(code: str, tag: str, env: dict, template_kw: dict) -> str:
+    out = f"/tmp/_kcheck_{tag}.npz"
+    env_lines = "\n".join(
+        f'os.environ["{k}"] = "{v}"' for k, v in env.items()
+    )
+    src = code.format(
+        env_lines=env_lines,
+        root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        out=out,
+        **template_kw,
+    )
+    subprocess.run([sys.executable, "-c", src], check=True)
+    return out
+
+
+def _ab(code, name, flag, base_env, template_kw=None):
+    import numpy as np
+
+    a = np.load(_run(code, f"{name}_on", {**base_env, flag: "1"}, template_kw or {}))
+    b = np.load(_run(code, f"{name}_off", {**base_env, flag: "0"}, template_kw or {}))
+    return a, b
+
+
+def _decode_verdict(name, a, b):
+    import numpy as np
+
+    d = np.abs(a["low"] - b["low"])
+    agree = ((a["low"] > 0) == (b["low"] > 0)).mean()
+    iou_d = np.abs(a["iou"] - b["iou"]).max()
+    ok = d.max() < 0.1 and agree > 0.995 and iou_d < 2e-2
+    print(
+        f"{'PASS' if ok else 'FAIL'} {name:15s} logit max|d| {d.max():.4f} "
+        f"mean {d.mean():.5f} | pixel agree {agree:.4%} | iou max|d| {iou_d:.5f}"
+    )
+    return ok
+
+
+def _encode_verdict(name, a, b):
+    import numpy as np
+
+    x, y = a["emb"].ravel(), b["emb"].ravel()
+    cos = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-30))
+    d = np.abs(a["emb"] - b["emb"])
+    scale = np.abs(b["emb"]).mean() + 1e-30
+    ok = cos > 0.999 and d.mean() / scale < 0.02
+    print(
+        f"{'PASS' if ok else 'FAIL'} {name:15s} emb cos {cos:.6f} | "
+        f"max|d| {d.max():.4f} mean {d.mean():.5f} (scale {scale:.4f})"
+    )
+    return ok
+
+
+def _clip_verdict(name, a, b):
+    import numpy as np
+
+    x, y = a["feats"], b["feats"]
+    xn = x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-30)
+    yn = y / (np.linalg.norm(y, axis=-1, keepdims=True) + 1e-30)
+    cos = (xn * yn).sum(-1).min()
+    ok = cos > 0.999
+    print(f"{'PASS' if ok else 'FAIL'} {name:15s} per-row feat cos min {cos:.6f}")
+    return ok
+
+
+def check_pass1_stats():
+    """In-process: stats kernel (real Mosaic, incl. the predicated row-tile
+    skip) vs the materialised canonical-logits chain, production shapes."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hybridgl_tpu.kernels.pass1_stats import (
+        half_transform_blocked,
+        pass1_stats_half,
+    )
+
+    rng = np.random.default_rng(0)
+    B, g, M, C = 16, 64, 3, 1024
+    n = 4 * g
+    y = jnp.asarray(rng.standard_normal((B, g * g, 16 * M)).astype(np.float32))
+    # bilinear-ish soft weights (rows ~sum to 1) like composed resizes
+    WxT = jnp.asarray(
+        np.maximum(0, rng.standard_normal((n, C))).astype(np.float32) * 0.02
+    )
+    Wy = jnp.asarray(
+        np.maximum(0, rng.standard_normal((C, n))).astype(np.float32) * 0.02
+    )
+    win = (jnp.float32(17.0), jnp.float32(5.0), jnp.float32(451.0), jnp.float32(633.0))
+
+    @jax.jit
+    def kernel(y):
+        tmp = half_transform_blocked(y, WxT, g, M)
+        return pass1_stats_half(tmp, Wy, win, 0.0, 1.0)
+
+    @jax.jit
+    def reference(y):
+        tmp = half_transform_blocked(y, WxT, g, M)  # [B*M, n, C]
+        frame = jnp.einsum(
+            "ck,bkx->bcx", Wy, tmp, preferred_element_type=jnp.float32
+        )  # [B*M, C, C]
+        r = jnp.arange(C, dtype=jnp.float32)
+        valid = (
+            ((r[:, None] >= win[0]) & (r[:, None] < win[0] + win[2]))
+            & ((r[None, :] >= win[1]) & (r[None, :] < win[1] + win[3]))
+        )[None]
+        hi = ((frame > 1.0) & valid).sum(axis=(1, 2))
+        lo = ((frame > -1.0) & valid).sum(axis=(1, 2))
+        m = (frame > 0.0) & valid
+        return (
+            hi / jnp.maximum(lo, 1.0),
+            m.any(axis=2),
+            m.any(axis=1),
+        )
+
+    s0, r0, c0 = jax.tree_util.tree_map(np.asarray, kernel(y))
+    s1, r1, c1 = jax.tree_util.tree_map(np.asarray, reference(y))
+    sd = np.abs(s0 - s1).max()
+    req = np.array_equal(r0, r1)
+    ceq = np.array_equal(c0, c1)
+    ok = sd < 1e-4 and req and ceq
+    print(
+        f"{'PASS' if ok else 'FAIL'} {'pass1_stats':15s} stab max|d| {sd:.2e} | "
+        f"row_any {'==' if req else '!='} | col_any {'==' if ceq else '!='}"
+    )
+    return ok
+
+
+CHECKS = {
+    "upscale": lambda: _decode_verdict(
+        "upscale", *_ab(_DECODE_CODE, "upscale", "HYBRIDGL_FUSED_UPSCALE", {})
+    ),
+    "fused_pass": lambda: _decode_verdict(
+        "fused_pass", *_ab(_DECODE_CODE, "fpass", "HYBRIDGL_FUSED_PASS", {})
+    ),
+    "i2t": lambda: _decode_verdict(
+        "i2t",
+        *_ab(_DECODE_CODE, "i2t", "HYBRIDGL_FUSED_I2T", {"HYBRIDGL_FUSED_PASS": "0"}),
+    ),
+    "t2i": lambda: _decode_verdict(
+        "t2i",
+        *_ab(_DECODE_CODE, "t2i", "HYBRIDGL_FUSED_T2I", {"HYBRIDGL_FUSED_PASS": "0"}),
+    ),
+    "flash_global": lambda: _encode_verdict(
+        "flash_global", *_ab(_DECODE_CODE, "fg", "HYBRIDGL_FLASH", {})
+    ),
+    "flash_windowed": lambda: _encode_verdict(
+        "flash_windowed", *_ab(_DECODE_CODE, "fw", "HYBRIDGL_FLASH_WINDOWED", {})
+    ),
+    "clip": lambda: _clip_verdict(
+        "clip",
+        *_ab(_CLIP_CODE, "clip", "HYBRIDGL_FUSED_CLIP", {}, {"mode": "G2L"}),
+    ),
+    "pass1_stats": check_pass1_stats,
+}
 
 
 def main():
-    import numpy as np
-
-    a = np.load(_run_variant("1"))
-    b = np.load(_run_variant("0"))
-    d = np.abs(a["low"] - b["low"])
-    agree = ((a["low"] > 0) == (b["low"] > 0)).mean()
-    print(f"logit max|diff| {d.max():.4f} mean {d.mean():.5f} "
-          f"(|logit| mean {np.abs(b['low']).mean():.3f})")
-    print(f"iou max|diff| {np.abs(a['iou'] - b['iou']).max():.6f}")
-    print(f"thresholded-pixel agreement {agree:.4%}")
-    ok = d.max() < 0.1 and agree > 0.995
-    print("PASS" if ok else "FAIL")
+    names = sys.argv[1:] or list(CHECKS)
+    ok = True
+    for name in names:
+        try:
+            ok &= CHECKS[name]()
+        except Exception as e:
+            print(f"FAIL {name:15s} raised {e!r}")
+            ok = False
+    print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
 
