@@ -36,6 +36,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def use_bf16_stats() -> bool:
+    """Serve the pass-1 stats chain (half-transform einsum + row-resize
+    matmul) on bf16 operands with f32 accumulation. Default ON; opt OUT via
+    $HYBRIDGL_STATS_BF16=0.
+
+    Why this is sound: the decoder logits the chain consumes are themselves
+    f32 accumulations of bf16 matmuls (bf16 serving), so their information
+    content is already bf16-grade; rounding the resize operands adds ~0.4%
+    relative noise to canonical-frame logits whose threshold decisions
+    (stability counts, box profiles) the serving pipeline already makes on
+    bf16-grade values. Measured effect: stability |diff| ~1e-3-class, box
+    edges within a pixel (tests/test_pass1_stats.py:test_bf16_stats_close).
+    The win: the [B*M, n, C] half-transform HBM round-trip halves and the
+    row matmul runs at full MXU bf16 rate instead of the f32 half rate."""
+    from ..utils.env import env_flag
+
+    return env_flag("HYBRIDGL_STATS_BF16", default=True)
+
+
 def _stats_kernel(
     win_ref,  # SMEM [4] f32: y0, x0, dh, dw
     low_ref,  # [1, n, n2] raw decoder logits (any float dtype)
@@ -62,16 +81,17 @@ def _stats_kernel(
     if pre_half:
         # the caller already applied the column transform (XLA folds the
         # decoder's blocked->interleaved permutation into that dot for
-        # free); low_ref IS the [n, C] half-transform
-        tmp = low_ref[0].astype(jnp.float32)
+        # free); low_ref IS the [n, C] half-transform (native dtype — bf16
+        # under use_bf16_stats, so the row dot below runs at bf16 MXU rate)
+        tmp = low_ref[0]
     else:
         # column half-transform in VMEM (exactly the einsum the callers
-        # used to materialise in HBM, f32 like before)
+        # used to materialise in HBM; operand dtype = wxt's)
         tmp = jnp.dot(
-            low_ref[0].astype(jnp.float32),
+            low_ref[0].astype(wxt_ref.dtype),
             wxt_ref[...],
             preferred_element_type=jnp.float32,
-        )  # [n, C]
+        ).astype(wxt_ref.dtype)  # [n, C]
     # NB: tpu.iota is integer-only; cast after (f32 compares against the
     # SMEM window scalars)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(jnp.float32)
@@ -161,12 +181,17 @@ def _stats_call(low, WxT, Wy, window, thresh, offset, tile, interpret, *, pre_ha
     assert Wy.shape == (C, n), (Wy.shape, (C, n))
     if C % tile:
         tile = C  # tiny test frames: single tile
+    dt = jnp.bfloat16 if use_bf16_stats() else jnp.float32
+    Wy = Wy.astype(dt)
     win = jnp.stack(
         [jnp.asarray(v, jnp.float32) for v in window]
     )  # [4]
     if pre_half:
         # the kernel never reads wxt_ref in this mode; feed a lane-wide dummy
-        WxT = jnp.zeros((1, 128), jnp.float32)
+        WxT = jnp.zeros((1, 128), dt)
+        low = low.astype(dt)  # no-op when the producer already emitted dt
+    else:
+        WxT = WxT.astype(dt)
     kernel = functools.partial(
         _stats_kernel, n=n, C=C, tile=tile, thresh=thresh, offset=offset,
         pre_half=pre_half,
@@ -214,16 +239,18 @@ def half_transform_blocked(y: jax.Array, WxT: jax.Array, g: int, nmt: int):
     relayout on the PhraseCut multicrop pass 1 when the consumer was the
     Pallas stats kernel).
 
-    Returns [B*nmt, 4g, C] f32, candidate-major like the callers' flats.
+    Returns [B*nmt, 4g, C] (bf16 under use_bf16_stats, else f32),
+    candidate-major like the callers' flats.
     """
     B = y.shape[0]
     C = WxT.shape[1]
     assert WxT.shape[0] == 4 * g, (WxT.shape, g)
-    y8 = y.reshape(B, g, g, 2, 2, 2, 2, nmt).astype(jnp.float32)
-    Wxb = WxT.astype(jnp.float32).reshape(g, 2, 2, C)
+    dt = jnp.bfloat16 if use_bf16_stats() else jnp.float32
+    y8 = y.reshape(B, g, g, 2, 2, 2, 2, nmt).astype(dt)
+    Wxb = WxT.astype(dt).reshape(g, 2, 2, C)
     tmp = jnp.einsum(
         "bhwijefm,wjfk->bmhiek", y8, Wxb, preferred_element_type=jnp.float32
-    )
+    ).astype(dt)
     return tmp.reshape(B * nmt, 4 * g, C)
 
 

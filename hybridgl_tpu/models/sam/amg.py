@@ -177,10 +177,11 @@ def generate_proposals(
         # strided-copy relayout it replaces measured ~774 ms/img on the
         # multicrop trace); the row matmul + thresholds run in the kernel.
         # TRADEOFF (recorded per ADVICE r4): this materialises the
-        # [B*M, 256, C] f32 half-transform in HBM (~C/640 * 250 MB per
-        # B=128 chunk) — the buffer the old fully-in-kernel design avoided.
-        # The measured 774 ms/img relayout win dominates at C<=1024; if
-        # canonical C ever grows past ~2k, re-measure this choice.
+        # [B*M, 256, C] half-transform in HBM (bf16 under
+        # pass1_stats.use_bf16_stats, ~C/640 * 125 MB per B=128 chunk) —
+        # the buffer the old fully-in-kernel design avoided. The measured
+        # 774 ms/img relayout win dominates at C<=1024; if canonical C ever
+        # grows past ~2k, re-measure this choice.
         half = half_transform_blocked(blocked, Wx.T, sam_cfg.embed_grid, M)
         stab, row_any, col_any = pass1_stats_half(
             half,

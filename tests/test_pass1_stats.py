@@ -11,6 +11,14 @@ from hybridgl_tpu.kernels.pass1_stats import pass1_stats
 from hybridgl_tpu.kernels.resize import _composed_axis_weights, place_two_stage
 
 
+@pytest.fixture
+def f32_stats(monkeypatch):
+    """Pin the stats chain to f32 (HYBRIDGL_STATS_BF16=0): the exact-
+    equality goldens compare against an f32 materialised chain; the
+    default bf16 serving path is covered by test_bf16_stats_close."""
+    monkeypatch.setenv("HYBRIDGL_STATS_BF16", "0")
+
+
 @pytest.mark.parametrize(
     "C,mid,window",
     [
@@ -19,7 +27,7 @@ from hybridgl_tpu.kernels.resize import _composed_axis_weights, place_two_stage
         (96, 64, (0.0, 0.0, 96, 96)),
     ],
 )
-def test_pass1_stats_matches_materialised_chain(rng, C, mid, window):
+def test_pass1_stats_matches_materialised_chain(rng, f32_stats, C, mid, window):
     n, B = 16, 5
     thresh, offset = 0.0, 1.0
     y0, x0, dh, dw = window
@@ -66,7 +74,7 @@ def test_pass1_stats_zero_lo_is_filtered_like_nan(rng):
     assert np.all(np.asarray(stab) == 0.0)
 
 
-def test_blocked_half_transform_path_matches_interleaved(rng):
+def test_blocked_half_transform_path_matches_interleaved(rng, f32_stats):
     """pass1_stats_half over half_transform_blocked(y) == interleaving y
     first and running the classic kernel (the AMG pass-1 production path:
     the decoder's blocked upscale output is consumed without the strided
@@ -93,6 +101,39 @@ def test_blocked_half_transform_path_matches_interleaved(rng):
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_bf16_stats_close(rng, monkeypatch):
+    """The default bf16 stats chain (HYBRIDGL_STATS_BF16, see
+    pass1_stats.use_bf16_stats) tracks the f32 chain: stability within
+    ~1e-2 (counts ratios of thresholded bf16-grade logits), box edges
+    within 2 px, and profile flips confined to threshold-crossing pixels
+    (small fraction)."""
+    from hybridgl_tpu.kernels.pass1_stats import (
+        half_transform_blocked,
+        pass1_stats_half,
+    )
+
+    g, M, B, C, mid = 16, 3, 8, 96, 64
+    n = 4 * g
+    y = jnp.asarray(rng.standard_normal((B, g * g, 16 * M)).astype(np.float32))
+    window = (3.0, 5.0, 50, 40)
+    Wy = _composed_axis_weights(C, n, mid, int(mid * 0.9), 3, 50)
+    Wx = _composed_axis_weights(C, n, mid, int(mid * 0.7), 5, 40)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("HYBRIDGL_STATS_BF16", flag)
+        half = half_transform_blocked(y, Wx.T, g, M)
+        outs[flag] = jax.tree_util.tree_map(
+            np.asarray, pass1_stats_half(half, Wy, window, 0.0, 1.0)
+        )
+    s1, r1, c1 = outs["1"]
+    s0, r0, c0 = outs["0"]
+    assert np.abs(s1 - s0).max() < 2e-2, np.abs(s1 - s0).max()
+    # profiles: flips only near threshold crossings — bounded fraction
+    assert (r1 != r0).mean() < 0.03
+    assert (c1 != c0).mean() < 0.03
 
 
 def test_predict_masks_return_blocked_interleaves_to_masks(rng):
