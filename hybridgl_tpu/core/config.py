@@ -211,10 +211,12 @@ AMG_REFCOCO = AmgConfig()
 AMG_PHRASECUT = AmgConfig(
     points_per_side=64,
     # decode-batch size is a memory knob, not semantics (the reference's 64
-    # targets GPU VRAM, automatic_mask_generator.py:46); 128 measured +17%
-    # e2e on v5e (fewer per-chunk overheads, fuller MXU batches) and the
-    # [384, C^2] pass-1 transient fits HBM comfortably
-    points_per_batch=128,
+    # targets GPU VRAM, automatic_mask_generator.py:46). Round-2 measured
+    # 128 at +17% e2e, but after the round-4/5 kernel fusions the smaller
+    # chunk wins again: PPB=64 vs 128 measured decode 508 vs 526 ms/img and
+    # half+stats 119 vs 148 ms/img on the multicrop probe (the [192, C^2]
+    # pass-1 transients double-buffer better than [384, C^2])
+    points_per_batch=64,
     pred_iou_thresh=0.86,
     stability_score_thresh=0.92,
     crop_n_layers=1,

@@ -103,10 +103,27 @@ def main():
             jax.block_until_ready(fn(params, emb, chunks))
             reps.append((time.time() - t0) * 1000)
         med = sorted(reps)[len(reps) // 2]
+        # pipelined: K different-input dispatches queued back-to-back with
+        # ONE closing block — the tunnel's per-dispatch round trip (~25 ms
+        # on axon) overlaps the device work, as it does in the production
+        # pipeline's async dispatch stream. Different inputs defeat the
+        # tunnel's same-args memo.
+        K = 3
+        variants = [
+            jnp.asarray(np.roll(np.asarray(chunks), i, axis=0)) for i in range(K)
+        ]
+        jax.block_until_ready([fn(params, emb, v) for v in variants])  # warm
+        pipel = []
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready([fn(params, emb, v) for v in variants])
+            pipel.append((time.time() - t0) * 1000 / K)
+        pmed = sorted(pipel)[len(pipel) // 2]
         print(
             f"unroll={u}: {med:7.1f} ms/{n_chunks} chunks "
             f"({med / n_pts * 1000:6.0f} us/pt; compile {compile_s:.0f}s; "
-            f"reps {min(reps):.0f}-{max(reps):.0f})"
+            f"reps {min(reps):.0f}-{max(reps):.0f}; "
+            f"pipelined {pmed:.1f} ms = {pmed / n_pts * 1000:.0f} us/pt)"
         )
 
 
