@@ -97,8 +97,16 @@ np.savez({out!r}, feats=np.asarray(
 """
 
 
-def _run(code: str, tag: str, env: dict, template_kw: dict) -> str:
+def _run(code: str, tag: str, env: dict, template_kw: dict | None = None) -> str:
+    """Run one stage variant in a fresh subprocess; artifacts are cached on
+    disk keyed by tag so a re-invocation (after a timeout, or for a subset
+    of checks) skips completed variants. Delete /tmp/_kcheck_*.npz or set
+    KCHECK_FRESH=1 to force re-runs. Variants sharing a flag combination
+    share a tag (the all-defaults decode/encode program is computed once
+    and reused by every check that compares against it)."""
     out = f"/tmp/_kcheck_{tag}.npz"
+    if os.path.exists(out) and not os.environ.get("KCHECK_FRESH"):
+        return out
     env_lines = "\n".join(
         f'os.environ["{k}"] = "{v}"' for k, v in env.items()
     )
@@ -106,17 +114,30 @@ def _run(code: str, tag: str, env: dict, template_kw: dict) -> str:
         env_lines=env_lines,
         root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         out=out,
-        **template_kw,
+        **(template_kw or {}),
     )
     subprocess.run([sys.executable, "-c", src], check=True)
     return out
 
 
-def _ab(code, name, flag, base_env, template_kw=None):
+# decode/encode-stage variants (tag -> env); every check below compares
+# two of these, so the expensive stage runs once per flag COMBINATION
+_VARIANTS = {
+    "default": {},
+    "pass0": {"HYBRIDGL_FUSED_PASS": "0"},
+    "upscale0": {"HYBRIDGL_FUSED_UPSCALE": "0"},
+    "i2t0": {"HYBRIDGL_FUSED_PASS": "0", "HYBRIDGL_FUSED_I2T": "0"},
+    "t2i0": {"HYBRIDGL_FUSED_PASS": "0", "HYBRIDGL_FUSED_T2I": "0"},
+    "flash0": {"HYBRIDGL_FLASH": "0"},
+    "flashw0": {"HYBRIDGL_FLASH_WINDOWED": "0"},
+}
+
+
+def _ab(name, tag_a, tag_b):
     import numpy as np
 
-    a = np.load(_run(code, f"{name}_on", {**base_env, flag: "1"}, template_kw or {}))
-    b = np.load(_run(code, f"{name}_off", {**base_env, flag: "0"}, template_kw or {}))
+    a = np.load(_run(_DECODE_CODE, tag_a, _VARIANTS[tag_a]))
+    b = np.load(_run(_DECODE_CODE, tag_b, _VARIANTS[tag_b]))
     return a, b
 
 
@@ -224,31 +245,32 @@ def check_pass1_stats():
     return ok
 
 
+def _clip_ab():
+    import numpy as np
+
+    a = np.load(
+        _run(_CLIP_CODE, "clip_on", {"HYBRIDGL_FUSED_CLIP": "1"}, {"mode": "G2L"})
+    )
+    b = np.load(
+        _run(_CLIP_CODE, "clip_off", {"HYBRIDGL_FUSED_CLIP": "0"}, {"mode": "G2L"})
+    )
+    return a, b
+
+
 CHECKS = {
-    "upscale": lambda: _decode_verdict(
-        "upscale", *_ab(_DECODE_CODE, "upscale", "HYBRIDGL_FUSED_UPSCALE", {})
-    ),
+    "upscale": lambda: _decode_verdict("upscale", *_ab("upscale", "default", "upscale0")),
     "fused_pass": lambda: _decode_verdict(
-        "fused_pass", *_ab(_DECODE_CODE, "fpass", "HYBRIDGL_FUSED_PASS", {})
+        "fused_pass", *_ab("fused_pass", "default", "pass0")
     ),
-    "i2t": lambda: _decode_verdict(
-        "i2t",
-        *_ab(_DECODE_CODE, "i2t", "HYBRIDGL_FUSED_I2T", {"HYBRIDGL_FUSED_PASS": "0"}),
-    ),
-    "t2i": lambda: _decode_verdict(
-        "t2i",
-        *_ab(_DECODE_CODE, "t2i", "HYBRIDGL_FUSED_T2I", {"HYBRIDGL_FUSED_PASS": "0"}),
-    ),
+    "i2t": lambda: _decode_verdict("i2t", *_ab("i2t", "pass0", "i2t0")),
+    "t2i": lambda: _decode_verdict("t2i", *_ab("t2i", "pass0", "t2i0")),
     "flash_global": lambda: _encode_verdict(
-        "flash_global", *_ab(_DECODE_CODE, "fg", "HYBRIDGL_FLASH", {})
+        "flash_global", *_ab("flash_global", "default", "flash0")
     ),
     "flash_windowed": lambda: _encode_verdict(
-        "flash_windowed", *_ab(_DECODE_CODE, "fw", "HYBRIDGL_FLASH_WINDOWED", {})
+        "flash_windowed", *_ab("flash_windowed", "default", "flashw0")
     ),
-    "clip": lambda: _clip_verdict(
-        "clip",
-        *_ab(_CLIP_CODE, "clip", "HYBRIDGL_FUSED_CLIP", {}, {"mode": "G2L"}),
-    ),
+    "clip": lambda: _clip_verdict("clip", *_clip_ab()),
     "pass1_stats": check_pass1_stats,
 }
 
