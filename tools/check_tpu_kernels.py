@@ -183,8 +183,19 @@ def _clip_verdict(name, a, b):
 
 
 def check_pass1_stats():
-    """In-process: stats kernel (real Mosaic, incl. the predicated row-tile
-    skip) vs the materialised canonical-logits chain, production shapes."""
+    """Stats kernel (real Mosaic, incl. the predicated row-tile skip) vs
+    the materialised canonical-logits chain, production shapes.
+
+    Runs in ITS OWN subprocess like every other check: the axon tunnel is
+    single-client, so initialising jax-on-TPU in the orchestrator would
+    block every later stage subprocess on the device lock forever."""
+    done = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pass1-inproc"]
+    )
+    return done.returncode == 0
+
+
+def _check_pass1_stats_inproc():
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -276,6 +287,8 @@ CHECKS = {
 
 
 def main():
+    if sys.argv[1:] == ["--pass1-inproc"]:
+        return 0 if _check_pass1_stats_inproc() else 1
     names = sys.argv[1:] or list(CHECKS)
     ok = True
     for name in names:
