@@ -218,7 +218,9 @@ def i2t_ln_then_t2i(
 
     St = S
     # St=2048 measured 78 vs 81 us/pt at St=1024 on v5e (B=64 decode scan);
-    # St=4096 exceeds the 16 MB scoped-VMEM limit (17.9 MB stack).
+    # St=4096 exceeds the 16 MB scoped-VMEM limit (17.9 MB stack; re-tried
+    # after the round-5 sufficient-stats LN slimmed the f32 temporaries —
+    # still over).
     for cand in (2048, 1024, 512, 256):
         if S % cand == 0 and S >= cand:
             St = cand
