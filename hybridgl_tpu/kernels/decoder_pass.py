@@ -138,13 +138,33 @@ def _body(
         ctx_ref[0] = acc_scr[:] * (1.0 / jnp.maximum(l_scr[:], 1e-30))
 
 
-def _kernel_shared(qside_ref, base_ref, pe_ref, *rest, n_rot, gt, nk, dt):
+def _tile(ref, resident: bool, st: int):
+    """Read this program's [St, ...] image tile from ``ref``.
+
+    ``resident`` refs hold the WHOLE broadcast array (constant index map →
+    fetched into VMEM once per kernel launch, not once per grid step) and
+    are sliced here at the tile offset; streamed refs already arrive as the
+    [1, St, ...] block for this (b, k) step. Broadcast operands used to be
+    streamed: their block index (0, k, 0) changes every grid step, so
+    Mosaic re-fetched the same bytes once per prompt per tile — ~500 MB of
+    HBM traffic per 64-prompt chunk for pass A's three [1, S, C] streams
+    (qproj/base/pe) that total 6 MB."""
+    if not resident:
+        return ref[0]
+    ki = pl.program_id(1)
+    return ref[0, pl.ds(ki * st, st), :]
+
+
+def _kernel_shared(
+    qside_ref, base_ref, pe_ref, *rest, n_rot, gt, nk, dt, st, res
+):
     """Pass-A variant: qside/base are independent broadcast streams
     (layer 0: the once-projected image queries + the raw image)."""
+    q_res, b_res, pe_res = res
     _body(
-        qside_ref[0],
-        base_ref[0],
-        pe_ref[0],
+        _tile(qside_ref, q_res, st),
+        _tile(base_ref, b_res, st),
+        _tile(pe_ref, pe_res, st),
         *rest,
         n_rot=n_rot,
         gt=gt,
@@ -153,13 +173,15 @@ def _kernel_shared(qside_ref, base_ref, pe_ref, *rest, n_rot, gt, nk, dt):
     )
 
 
-def _kernel_keys(keys_in_ref, pe_ref, *rest, n_rot, gt, nk, dt):
+def _kernel_keys(keys_in_ref, pe_ref, *rest, n_rot, gt, nk, dt, st, res):
     """Pass-B variant: qside == base == the per-prompt keys stream, with
     pe added on the score side in VMEM (i2t over kpe) — ONE fetch serves
     both i2t sides."""
-    k = keys_in_ref[0]
-    q = (k.astype(jnp.float32) + pe_ref[0].astype(jnp.float32)).astype(k.dtype)
-    _body(q, k, pe_ref[0], *rest, n_rot=n_rot, gt=gt, nk=nk, dt=dt)
+    q_res, _, pe_res = res
+    k = _tile(keys_in_ref, q_res, st)
+    pe = _tile(pe_ref, pe_res, st)
+    q = (k.astype(jnp.float32) + pe.astype(jnp.float32)).astype(k.dtype)
+    _body(q, k, pe, *rest, n_rot=n_rot, gt=gt, nk=nk, dt=dt)
 
 
 def _softmax_matrices(heads: int, tp: int):
@@ -257,24 +279,46 @@ def i2t_ln_then_t2i(
         ln_bias[None].astype(jnp.float32),
         qw_next.astype(jnp.float32),
     )
-    pe_spec = pl.BlockSpec((1, St, C), lambda b, k: (0 if pe_bcast else b, k, 0))
+    def img_spec(bcast: bool, width: int):
+        """Broadcast operands ride VMEM-RESIDENT (whole array, constant
+        index map → one HBM fetch per launch); per-prompt operands stream
+        as [1, St, width] tiles. VMEM cost is a wash (the whole [1, S, w]
+        array ≈ the two double-buffered [1, St, w] blocks it replaces) but
+        the broadcast re-fetch per prompt — ~6 MB × B per chunk — is gone."""
+        if bcast:
+            return pl.BlockSpec((1, S, width), lambda b, k: (0, 0, 0))
+        return pl.BlockSpec((1, St, width), lambda b, k: (b, k, 0))
+
+    pe_spec = img_spec(pe_bcast, C)
 
     if shared_qside:
         kernel = functools.partial(
-            _kernel_shared, n_rot=n_rot if tp > 1 else 0, gt=GT, nk=nk, dt=dt
+            _kernel_shared,
+            n_rot=n_rot if tp > 1 else 0,
+            gt=GT,
+            nk=nk,
+            dt=dt,
+            st=St,
+            res=(q_bcast, b_bcast, pe_bcast),
         )
         in_specs = [
-            pl.BlockSpec((1, St, Cq), lambda b, k: (0 if q_bcast else b, k, 0)),
-            pl.BlockSpec((1, St, C), lambda b, k: (0 if b_bcast else b, k, 0)),
+            img_spec(q_bcast, Cq),
+            img_spec(b_bcast, C),
             pe_spec,
         ] + common_specs
         args = (qside.astype(dt), base.astype(dt), pe.astype(dt)) + common_args
     else:
         kernel = functools.partial(
-            _kernel_keys, n_rot=n_rot if tp > 1 else 0, gt=GT, nk=nk, dt=dt
+            _kernel_keys,
+            n_rot=n_rot if tp > 1 else 0,
+            gt=GT,
+            nk=nk,
+            dt=dt,
+            st=St,
+            res=(q_bcast, False, pe_bcast),
         )
         in_specs = [
-            pl.BlockSpec((1, St, Cq), lambda b, k: (0 if q_bcast else b, k, 0)),
+            img_spec(q_bcast, Cq),
             pe_spec,
         ] + common_specs
         args = (qside.astype(dt), pe.astype(dt)) + common_args

@@ -146,6 +146,14 @@ def _attention(p_attn, x: jax.Array, num_heads: int, size: int) -> jax.Array:
             windowed_rel_terms,
         )
 
+        # NOTE (round 5, measured and REJECTED): folding Wq into the rel
+        # tables at stack time (rel_h = x @ (Wq Rh^T) + bq Rh^T, two plain
+        # batched matmuls replacing this einsum chain) targeted the
+        # ~0.19 ms/block of reshape/convert/relayout the trace shows here —
+        # but a same-process 28-block A/B measured 75.8 -> 77.6 ms/scan
+        # (tools/bench_windowed.py --only flash): the chain's copies
+        # overlap the MXU stream, while the fold's +3 GF/block and
+        # +16 MB/block of streamed [G, D, H*G] tables sit on the wall.
         Rh, Rw = _rel_tables(p_attn, size, x.dtype)
         rel_h, rel_w = windowed_rel_terms(qkv, Rh, Rw, num_heads, size)
         out = flash_windowed_fused(qkv, rel_h, rel_w, num_heads, size)

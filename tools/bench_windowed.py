@@ -67,12 +67,35 @@ def make_block_params(key, depth, D=1280, heads=16, window=14, dtype=jnp.bfloat1
     return p
 
 
+def add_fold_tables(p, depth, D=1280, heads=16, window=14):
+    """Mirror stack_encoder_runs' Wq-folded rel tables (HYBRIDGL_REL_FOLD)
+    for the hand-stacked bench params: rel term = x @ (Wq Rh^T) + bq Rh^T."""
+    attn = dict(p["attn"])
+    hd = D // heads
+    wq = attn["qkv_w"][:, :, : heads * hd].reshape(depth, D, heads, hd)
+    bq = attn["qkv_b"][:, : heads * hd].reshape(depth, heads, hd)
+    for nm in ("h", "w"):
+        tab = attn[f"rel_tab_{nm}"].astype(jnp.float32)  # [depth, G, G, hd]
+        fold = jnp.einsum("zdhc,zqkc->zqdhk", wq.astype(jnp.float32), tab)
+        attn[f"rel_fold_{nm}"] = fold.reshape(
+            depth, window, D, heads * window
+        ).astype(wq.dtype)
+        attn[f"rel_fold_{nm}b"] = jnp.einsum(
+            "zhc,zqkc->zqhk", bq.astype(jnp.float32), tab
+        ).reshape(depth, window, heads * window)
+    out = dict(p)
+    out["attn"] = attn
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--blocks", type=int, default=28)
     ap.add_argument("--grid", type=int, default=64)
-    ap.add_argument("--only", choices=["xla-factored", "flash"], default=None)
+    ap.add_argument(
+        "--only", choices=["xla-factored", "flash", "flash+fold"], default=None
+    )
     ap.add_argument(
         "--trace",
         default="",
@@ -116,9 +139,13 @@ def main():
         for i in range(args.reps + 1)
     ]
 
-    for label, env in (("xla-factored", "0"), ("flash", "1")):
-        if args.only and label != args.only:
+    fold_params = add_fold_tables(params, args.blocks)
+
+    for label, env in (("xla-factored", "0"), ("flash", "1"), ("flash+fold", "1")):
+        if args.only and not label.startswith(args.only):
             continue
+        if label == "flash+fold":
+            params = fold_params
         os.environ["HYBRIDGL_FLASH_WINDOWED"] = env
         jit_run = make_run()
         # warmup (compile)
